@@ -1,0 +1,54 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "ocr_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Session with AQE, Arrow, UTC, and right-sized shuffle partitions.
+
+    In local[N] mode shuffle partitions default to N (the guide's
+    "~cores, not 200" rule); on a real cluster leave the default or pass
+    an explicit value sized to executor count * cores.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batches sized so a batch of fat turns stays comfortably
+        # in worker memory (analogue of tf.data batching, SURVEY §4.1)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_parallelism(master)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _default_parallelism(master: str) -> int:
+    if master.startswith("local["):
+        n = master[len("local[") : -1]
+        if n == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(n)
+        except ValueError:
+            return 8
+    return 200
