@@ -1,38 +1,545 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship extraction over transcripts derived from
+the sf0.001 documents table.  `queries()` exposes one entry per
+implemented operator family (SURVEY.md §2 + the training-data-pipeline
+ops); `oracle_sql()` gives the DuckDB-equivalent SQL for every
+SQL-expressible one.  Column names/aliases match exactly between both
+sides (the driver hashes values after sorting columns by name).
+
+Float discipline: any computed float that reaches the value-hash is
+fixed-pointed via floor(x * 10^k) so Spark/DuckDB rounding modes can't
+diverge; arithmetic is arranged identically on both sides (IEEE doubles
+are deterministic given identical operation order).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "the|and|of|to|a|in|is|it|for|on"
+_LANG_MARKERS = {
+    "en": "the|and|of|to",
+    "es": "el|la|que|los",
+    "fr": "le|et|les|des",
+    "de": "der|die|und|das",
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over transcripts derived from
+    /root/testdata/sf0.001 (bucket -> salt -> mapInPandas -> order)."""
+    from ocr_spark.plans.extract_job import plan_extract
+    from ocr_spark.sources.transcripts import derive_transcripts_from_documents
 
+    tr = derive_transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    return plan_extract(tr, n_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- extraction-pipeline scalar stages (G1/G7/G10 analogues) ----
+        "q_canonicalize": _q_canonicalize,
+        "q_min_len_filter": _q_min_len_filter,
+        "q_word_count": _q_word_count,
+        "q_token_count": _q_token_count,
+        # --- text analysis -----------------------------------------------
+        "q_lang_id": _q_lang_id,
+        "q_quality_score": _q_quality_score,
+        # --- dedup ---------------------------------------------------------
+        "q_dedup_exact": _q_dedup_exact,
+        "q_ngram_jaccard": _q_ngram_jaccard,
+        # --- similarity search ----------------------------------------------
+        "q_embedding_topk": _q_embedding_topk,
+        # --- relational operator coverage (SURVEY §2.6/2.7/2.8) ------------
+        "q_agg_orders": _q_agg_orders,
+        "q_join_broadcast": _q_join_broadcast,
+        "q_anti_join": _q_anti_join,
+        "q_topk_per_group": _q_topk_per_group,
+        "q_events_hourly": _q_events_hourly,
+        "q_sessionize": _q_sessionize,
+        # --- non-SQL-expressible (rows-only checks; full parity in pytest) -
+        "x_extract_documents": _x_extract_documents,
+        "x_extract_transcripts": _x_extract_transcripts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# G1/G17: canonical whitespace form.  A messy string is constructed from
+# the document text identically on both sides, then canonicalized.
+def _q_canonicalize(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    messy = F.concat(F.lit("  "), F.col("text"), F.lit(" \t mid  part\n\nend  "))
+    canon = F.trim(F.regexp_replace(messy, r"[ \t\r\n]+", " "))
+    return d.select(F.col("doc_id"), canon.alias("canon_text"))
+
+
+# G7/F3 analogue: length gate with pushdown-friendly predicate.
+def _q_min_len_filter(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.filter(F.col("n_chars") >= 200).select(
+        "doc_id", "n_chars", "lang"
+    )
+
+
+# G10: word count over canonical form.
+def _q_word_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    canon = F.trim(F.regexp_replace(F.col("text"), r"[ \t\r\n]+", " "))
+    wc = F.when(F.length(canon) == 0, F.lit(0)).otherwise(
+        F.size(F.split(canon, " "))
+    )
+    return d.select("doc_id", wc.cast("long").alias("n_words"))
+
+
+# BPE-ish token counting (letter runs / digit runs / single symbols).
+def _q_token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+    return d.select("doc_id", toks.cast("long").alias("n_tokens"))
+
+
+# Language-ID heuristic: marker-word hit counts per language, argmax with
+# deterministic tie-break (en > es > fr > de).
+def _q_lang_id(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    hits = {
+        k: F.size(F.regexp_extract_all(lower, F.lit(rf"\b({v})\b"), F.lit(0)))
+        for k, v in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["de"]),
+            F.lit("en"),
+        )
+        .when((hits["es"] >= hits["fr"]) & (hits["es"] >= hits["de"]), F.lit("es"))
+        .when(hits["fr"] >= hits["de"], F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return d.select(
+        "doc_id",
+        hits["en"].cast("long").alias("en_hits"),
+        pred.alias("lang_pred"),
+    )
+
+
+# Quality score: stopword ratio + bounded length factor, fixed-pointed.
+def _q_quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    canon = F.trim(F.regexp_replace(lower, r"[ \t\r\n]+", " "))
+    words = F.when(F.length(canon) == 0, F.lit(0)).otherwise(
+        F.size(F.split(canon, " "))
+    ).cast("double")
+    stop_hits = F.size(
+        F.regexp_extract_all(lower, F.lit(rf"\b({_STOPWORDS})\b"), F.lit(0))
+    ).cast("double")
+    score = (
+        F.least(words, F.lit(100.0)) / F.lit(100.0) * F.lit(0.5)
+        + F.when(words > 0, stop_hits / words).otherwise(F.lit(0.0)) * F.lit(0.5)
+    )
+    return d.select(
+        "doc_id",
+        F.floor(score * F.lit(10000.0)).cast("long").alias("quality_fp"),
+    )
+
+
+# Exact dedup: hash-groupBy on md5(text); keeper = min(doc_id).
+def _q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+# n-gram Jaccard near-dup: word 3-gram shingles; planted duplicates
+# (docs with doc_id < 25 re-emitted under doc_id + 1000000 with the first
+# 3 words dropped) guarantee non-trivial pairs at every sf.
+def _q_ngram_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 4, 1000000))").alias("text"),
+    )
+    alld = d.unionByName(mutated)
+    w = F.split(F.col("text"), " ")
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+        " i -> concat_ws(' ', element_at(split(text,' '), i),"
+        " element_at(split(text,' '), i+1), element_at(split(text,' '), i+2))))"
+    )
+    s = alld.select("doc_id", F.explode(shingles).alias("sh"))
+    n = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("shared"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("shared")
+                * F.lit(1000000.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            )
+            .cast("long")
+            .alias("jaccard_fp"),
+        )
+        .filter(F.col("jaccard_fp") >= 500000)
+    )
+    return j
+
+
+# Brute-force cosine top-k over the embeddings table (baseline ANN path):
+# query set = vec_id < 20; k = 5; all math in float64 with a sequential
+# fold so both engines produce bit-identical sums; similarity is
+# fixed-pointed for ranking and output.
+def _q_embedding_topk(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = ed.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = q.crossJoin(ed.select(F.col("vec_id").alias("neighbor_id"), "v")).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    sim_fp = F.floor(dot / (nq * nv) * F.lit(1000000.0)).cast("long")
+    scored = joined.select("query_id", "neighbor_id", sim_fp.alias("sim_fp"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_fp").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "sim_fp", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# A5/A1 analogue: hash aggregate with multiple measures.
+def _q_agg_orders(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.floor(F.sum("o_totalprice") * F.lit(100.0)).cast("long").alias("sum_price_fp"),
+    )
+
+
+# Harness correctness join (SURVEY §2.7): broadcast equi-join.
+def _q_join_broadcast(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.floor(F.sum("o_totalprice") * F.lit(100.0)).cast("long").alias("sum_price_fp"),
+        )
+    )
+
+
+# Resume anti-join pattern (SURVEY §2.7): orders whose customer has a
+# negative balance are "completed"; the anti-join returns the pending set.
+def _q_anti_join(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pending"))
+    )
+
+
+# O5/top-k per group: window row_number (the reading-order primitive O6).
+def _q_topk_per_group(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("value_fp"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+# Time-bucketed aggregation (streaming-shaped batch op).
+def _q_events_hourly(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.floor(F.sum("value") * F.lit(100.0)).cast("long").alias("sum_value_fp"),
+        )
+    )
+
+
+# Sessionization: lag + cumulative sum of gap>30min flags (guide pattern).
+def _q_sessionize(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; hop through
+    # timestamp (identity under the pinned UTC session zone)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch, 1).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("sess_id", F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("sess_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+# Rows-only: scalar extraction UDF over HTML-wrapped documents.
+def _x_extract_documents(spark, sf_dir):
+    from ocr_spark.functions.text import extract_text
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<nav><a href="/h">Home</a> <a href="/a">About</a></nav><p>'),
+        F.col("text"),
+        F.lit('</p><footer>Copyright <a href="/t">Terms</a></footer>'),
+    )
+    return d.select("doc_id", extract_text(html).alias("extracted_text"))
+
+
+# Rows-only: the full distributed pipeline over derived transcripts.
+def _x_extract_transcripts(spark, sf_dir):
+    from ocr_spark.plans.extract_job import plan_extract
+    from ocr_spark.sources.transcripts import derive_transcripts_from_documents
+
+    tr = derive_transcripts_from_documents(spark, sf_dir)
+    return plan_extract(tr, n_buckets=16).select(
+        "conv_id", "turn_idx", "extracted_text", "n_blocks_in",
+        "n_blocks_kept", "status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_canonicalize": """
+            SELECT doc_id,
+                   trim(regexp_replace('  ' || text || ' \t mid  part' || chr(10) || chr(10) || 'end  ',
+                                       '[ \t\r\n]+', ' ', 'g')) AS canon_text
+            FROM documents
+        """,
+        "q_min_len_filter": """
+            SELECT doc_id, n_chars, lang FROM documents WHERE n_chars >= 200
+        """,
+        "q_word_count": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g'))) = 0
+                        THEN 0
+                        ELSE len(string_split(trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')), ' '))
+                   END::BIGINT AS n_words
+            FROM documents
+        """,
+        "q_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]'))::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "q_lang_id": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["en"]})\\b'))::BIGINT AS en_hits,
+                   CASE
+                     WHEN len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["en"]})\\b')) >= len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["es"]})\\b'))
+                      AND len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["en"]})\\b')) >= len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["fr"]})\\b'))
+                      AND len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["en"]})\\b')) >= len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["de"]})\\b'))
+                     THEN 'en'
+                     WHEN len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["es"]})\\b')) >= len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["fr"]})\\b'))
+                      AND len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["es"]})\\b')) >= len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["de"]})\\b'))
+                     THEN 'es'
+                     WHEN len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["fr"]})\\b')) >= len(regexp_extract_all(lower(text), '\\b({_LANG_MARKERS["de"]})\\b'))
+                     THEN 'fr'
+                     ELSE 'de'
+                   END AS lang_pred
+            FROM documents
+        """,
+        "q_quality_score": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) = 0
+                          THEN 0
+                          ELSE len(string_split(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')), ' '))
+                     END::DOUBLE AS words,
+                     len(regexp_extract_all(lower(text), '\\b({_STOPWORDS})\\b'))::DOUBLE AS stop_hits
+              FROM documents
+            )
+            SELECT doc_id,
+                   floor((least(words, 100.0) / 100.0 * 0.5 +
+                          CASE WHEN words > 0 THEN stop_hits / words ELSE 0.0 END * 0.5) * 10000.0)::BIGINT AS quality_fp
+            FROM t
+        """,
+        "q_dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   min(doc_id) AS keep_id,
+                   count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "q_ngram_jaccard": """
+            WITH alld AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(string_split(text, ' ')[4:], ' ') AS text
+              FROM documents WHERE doc_id < 25
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([
+                       array_to_string([w[i], w[i+1], w[i+2]], ' ')
+                       for i in range(1, greatest(len(w) - 2, 0) + 1)
+                     ])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM alld)
+            ),
+            n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS shared
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor(shared * 1000000.0 / (na.n_sh + nb.n_sh - shared))::BIGINT AS jaccard_fp
+            FROM pairs
+            JOIN n na ON na.doc_id = doc_a
+            JOIN n nb ON nb.doc_id = doc_b
+            WHERE floor(shared * 1000000.0 / (na.n_sh + nb.n_sh - shared)) >= 500000
+        """,
+        "q_embedding_topk": """
+            WITH ed AS (
+              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     floor(list_dot_product(q.v, e.v) /
+                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+                           * 1000000.0)::BIGINT AS sim_fp
+              FROM ed q JOIN ed e ON q.vec_id < 20 AND q.vec_id != e.vec_id
+            )
+            SELECT query_id, neighbor_id, sim_fp, rnk::BIGINT AS rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim_fp DESC, neighbor_id ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 5
+        """,
+        "q_agg_orders": """
+            SELECT o_orderstatus,
+                   count(*)::BIGINT AS n_orders,
+                   floor(sum(o_totalprice) * 100.0)::BIGINT AS sum_price_fp
+            FROM orders GROUP BY 1
+        """,
+        "q_join_broadcast": """
+            SELECT c_mktsegment,
+                   count(*)::BIGINT AS n_orders,
+                   floor(sum(o_totalprice) * 100.0)::BIGINT AS sum_price_fp
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "q_anti_join": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_pending
+            FROM orders
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_acctbal < 0
+            )
+            GROUP BY 1
+        """,
+        "q_topk_per_group": """
+            SELECT user_id, event_id,
+                   floor(value * 100.0)::BIGINT AS value_fp,
+                   rnk::BIGINT AS rnk
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY value DESC, event_id ASC) AS rnk
+              FROM events
+            ) WHERE rnk <= 3
+        """,
+        "q_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*)::BIGINT AS n_events,
+                   floor(sum(value) * 100.0)::BIGINT AS sum_value_fp
+            FROM events GROUP BY 1, 2
+        """,
+        "q_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   sum(new_sess)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM g GROUP BY user_id
+        """,
+    }
