@@ -41,6 +41,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet is a single small file -> one input partition.
+    Queries doing heavy per-row compute (regex, UDFs, explodes) must
+    spread rows across cores first; the tiny round-robin shuffle is
+    orders of magnitude cheaper than serializing the compute.  (At 100 TB
+    the scan would arrive pre-split by maxPartitionBytes and this becomes
+    a no-op choice; it exists because the sandbox file is one row group.)
+    """
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -110,7 +123,7 @@ def _q_min_len_filter(spark, sf_dir):
 
 # G10: word count over canonical form.
 def _q_word_count(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     canon = F.trim(F.regexp_replace(F.col("text"), r"[ \t\r\n]+", " "))
     wc = F.when(F.length(canon) == 0, F.lit(0)).otherwise(
         F.size(F.split(canon, " "))
@@ -120,7 +133,7 @@ def _q_word_count(spark, sf_dir):
 
 # BPE-ish token counting (letter runs / digit runs / single symbols).
 def _q_token_count(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
     toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
     return d.select("doc_id", toks.cast("long").alias("n_tokens"))
@@ -129,12 +142,20 @@ def _q_token_count(spark, sf_dir):
 # Language-ID heuristic: marker-word hit counts per language, argmax with
 # deterministic tie-break (en > es > fr > de).
 def _q_lang_id(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     lower = F.lower(F.col("text"))
-    hits = {
-        k: F.size(F.regexp_extract_all(lower, F.lit(rf"\b({v})\b"), F.lit(0)))
-        for k, v in _LANG_MARKERS.items()
-    }
+    # materialize each marker count ONCE in an intermediate projection;
+    # the argmax CASE below references them 3-4 times each and Spark's
+    # subexpression elimination does not span when-branches reliably
+    d = d.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all(lower, F.lit(rf"\b({v})\b"), F.lit(0)))
+            .alias(f"_h_{k}")
+            for k, v in _LANG_MARKERS.items()
+        ],
+    )
+    hits = {k: F.col(f"_h_{k}") for k in _LANG_MARKERS}
     pred = (
         F.when(
             (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["de"]),
@@ -153,15 +174,25 @@ def _q_lang_id(spark, sf_dir):
 
 # Quality score: stopword ratio + bounded length factor, fixed-pointed.
 def _q_quality_score(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     lower = F.lower(F.col("text"))
     canon = F.trim(F.regexp_replace(lower, r"[ \t\r\n]+", " "))
-    words = F.when(F.length(canon) == 0, F.lit(0)).otherwise(
-        F.size(F.split(canon, " "))
-    ).cast("double")
-    stop_hits = F.size(
-        F.regexp_extract_all(lower, F.lit(rf"\b({_STOPWORDS})\b"), F.lit(0))
-    ).cast("double")
+    # two-step projection: each regex/split runs once per row, the score
+    # expression below reads plain columns
+    d = d.select(
+        "doc_id",
+        F.when(F.length(canon) == 0, F.lit(0))
+        .otherwise(F.size(F.split(canon, " ")))
+        .cast("double")
+        .alias("_words"),
+        F.size(
+            F.regexp_extract_all(lower, F.lit(rf"\b({_STOPWORDS})\b"), F.lit(0))
+        )
+        .cast("double")
+        .alias("_stop_hits"),
+    )
+    words = F.col("_words")
+    stop_hits = F.col("_stop_hits")
     score = (
         F.least(words, F.lit(100.0)) / F.lit(100.0) * F.lit(0.5)
         + F.when(words > 0, stop_hits / words).otherwise(F.lit(0.0)) * F.lit(0.5)
@@ -188,19 +219,28 @@ def _q_dedup_exact(spark, sf_dir):
 # (docs with doc_id < 25 re-emitted under doc_id + 1000000 with the first
 # 3 words dropped) guarantee non-trivial pairs at every sf.
 def _q_ngram_jaccard(spark, sf_dir):
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs_wide(spark, sf_dir).select("doc_id", "text")
     mutated = d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
         F.expr("concat_ws(' ', slice(split(text, ' '), 4, 1000000))").alias("text"),
     )
     alld = d.unionByName(mutated)
-    w = F.split(F.col("text"), " ")
+    # materialize the word array ONCE per row; inlining split() into the
+    # transform lambda would re-split the text for every shingle element
+    # (O(words^2) splits per doc — measured 10x slowdown)
+    words = alld.select("doc_id", F.split("text", " ").alias("w"))
     shingles = F.expr(
-        "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
-        " i -> concat_ws(' ', element_at(split(text,' '), i),"
-        " element_at(split(text,' '), i+1), element_at(split(text,' '), i+2))))"
+        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)),"
+        " i -> concat_ws(' ', element_at(w, i),"
+        " element_at(w, i+1), element_at(w, i+2))))"
     )
-    s = alld.select("doc_id", F.explode(shingles).alias("sh"))
+    # join on a 64-bit shingle hash, not the shingle string: ~10x less
+    # shuffle payload and long-key hash join.  xxhash64 collisions across
+    # ~N*100 distinct shingles are negligible (<<1e-9 at any tested sf)
+    # and would only perturb one pair's `shared` count by 1.
+    s = words.select("doc_id", F.explode(shingles).alias("sh_str")).select(
+        "doc_id", F.xxhash64("sh_str").alias("sh")
+    )
     n = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = s.alias("a")
     b = s.alias("b")
@@ -357,7 +397,7 @@ def _q_sessionize(spark, sf_dir):
 def _x_extract_documents(spark, sf_dir):
     from ocr_spark.functions.text import extract_text
 
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     html = F.concat(
         F.lit('<nav><a href="/h">Home</a> <a href="/a">About</a></nav><p>'),
         F.col("text"),

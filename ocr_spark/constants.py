@@ -109,7 +109,9 @@ INDENT_TOL = 2
 
 # --- distribution (plans/) ------------------------------------------------
 # Default conversation bucket count for repartition + lineage granularity.
-DEFAULT_N_BUCKETS = 64
+# Must be >> the UDF-stage partition count (2x cores) so hashing buckets
+# into partitions balances; also the resume unit — finer = cheaper re-runs.
+DEFAULT_N_BUCKETS = 256
 # A bucket is "hot" if its row count > HOT_FACTOR * mean bucket count.
 HOT_FACTOR = 4.0
 # Salt fan-out for hot buckets.

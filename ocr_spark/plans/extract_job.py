@@ -26,6 +26,16 @@ from ocr_spark.operators.extract_op import extract_turns
 from ocr_spark.plans.lineage import completed_buckets, lineage_from_output
 
 
+def _udf_stage_partitions(df: DataFrame) -> int:
+    """Partition count for the CPU-bound mapInPandas stage: 2 tasks per
+    core so stragglers overlap.  Passed EXPLICITLY to repartition because
+    AQE's post-shuffle coalescing sizes partitions by shuffle bytes and
+    would collapse a small-but-CPU-heavy input to a handful of tasks
+    (observed: 4 tasks on 32 cores), starving the extraction stage.
+    """
+    return df.sparkSession.sparkContext.defaultParallelism * 2
+
+
 def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
@@ -82,17 +92,17 @@ def plan_extract(
     b = with_bucket(df, n_buckets)
     hot = detect_hot_buckets(b) if salt_hot else []
     s = with_salt(b, hot)
-    parts = [F.col("bucket"), F.col("salt")]
-    shuffled = (
-        s.repartition(num_partitions, *parts)
-        if num_partitions
-        else s.repartition(*parts)
+    shuffled = s.repartition(
+        num_partitions or _udf_stage_partitions(df), F.col("bucket"), F.col("salt")
     )
+    # Sort BEFORE the UDF: mapInPandas preserves per-partition row order,
+    # so sorting the (slim) input rows gives ordered output for free —
+    # sorting the output would re-sort fat extracted_text+spans rows.
+    shuffled = shuffled.sortWithinPartitions("conv_id", "turn_idx")
     out = extract_turns(shuffled)
-    out = out.withColumn(
+    return out.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
     )
-    return out.sortWithinPartitions("conv_id", "turn_idx")
 
 
 def run_extract(
@@ -118,16 +128,12 @@ def run_extract(
 
     hot = detect_hot_buckets(df) if salt_hot else []
     s = with_salt(df, hot)
-    parts = [F.col("bucket"), F.col("salt")]
-    shuffled = (
-        s.repartition(num_partitions, *parts)
-        if num_partitions
-        else s.repartition(*parts)
-    )
-    out = extract_turns(shuffled)
-    out = out.withColumn(
-        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+    shuffled = s.repartition(
+        num_partitions or _udf_stage_partitions(df), F.col("bucket"), F.col("salt")
     ).sortWithinPartitions("conv_id", "turn_idx")
+    out = extract_turns(shuffled).withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+    )
 
     # Idempotent per-bucket writes: dynamic partition overwrite replaces
     # exactly the buckets this run produced (SURVEY §4.3 resume row).

@@ -53,7 +53,12 @@ def derive_transcripts_from_documents(
       2 markdown/plain, 3 tool-json-ish.
     Entirely built-in expressions — whole-stage codegen, no UDFs.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # documents.parquet is one small file -> one scan partition; spread
+    # the rows first or the whole derivation (crossJoin + regex) runs in
+    # a single task and serializes every downstream stage.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     turns = spark.range(turns_per_doc).select(
         F.col("id").cast("int").alias("turn_idx")
     )
