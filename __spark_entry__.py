@@ -36,6 +36,75 @@ _LANG_MARKERS = {
     "de": "der|die|und|das",
 }
 
+# Cross-engine deterministic hashing: fp(s) = int64 of the first 15 hex
+# chars of md5(s) (60 bits, identical in Spark `conv(substr(md5(x),1,15),
+# 16,10)` and DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`), reduced mod
+# the Mersenne prime M31 so the K affine MinHash functions
+# h_k = (A_k*fp + B_k) % M31 stay well inside int64.
+_M31 = 2_147_483_647
+_MINHASH_A = [2, 3, 5, 7, 11, 13, 17, 19]
+_MINHASH_B = [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def _docs_with_planted_dups(spark, sf_dir: str) -> DataFrame:
+    """documents plus planted near-duplicates (doc_id < 25 re-emitted as
+    doc_id + 1000000 with the first 3 words dropped) so dedup queries
+    have non-trivial positives at every sf."""
+    d = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    mutated = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 4, 1000000))").alias("text"),
+    )
+    return d.unionByName(mutated)
+
+
+def _shingle_fps(alld: DataFrame) -> DataFrame:
+    """(doc_id, fp): md5-based int64 fingerprint (mod M31) of each
+    distinct word-3-gram shingle.  The split array is materialized once
+    per row (inlining split() into the lambda is O(words^2))."""
+    words = alld.select("doc_id", F.split("text", " ").alias("w"))
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)),"
+        " i -> concat_ws(' ', element_at(w, i),"
+        " element_at(w, i+1), element_at(w, i+2))))"
+    )
+    return (
+        words.select("doc_id", F.explode(shingles).alias("sh_str"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("sh_str"), 1, 15), 16, 10).cast("long")
+                % F.lit(_M31)
+            ).alias("fp"),
+        )
+    )
+
+# DuckDB twins of the helpers above (composed into oracle SQL below).
+_SQL_ALLD = """
+  alld AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(string_split(text, ' ')[4:], ' ') AS text
+    FROM documents WHERE doc_id < 25
+  )
+"""
+_SQL_SHINGLE_FPS = _SQL_ALLD + """,
+  sh AS (
+    SELECT doc_id,
+           unnest(list_distinct([
+             array_to_string([w[i], w[i+1], w[i+2]], ' ')
+             for i in range(1, greatest(len(w) - 2, 0) + 1)
+           ])) AS sh_str
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM alld)
+  ),
+  fps AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(sh_str), 1, 15))::BIGINT % 2147483647 AS fp
+    FROM sh
+  )
+"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -89,8 +158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_minhash_lsh": _q_minhash_lsh,
+        "q_simhash": _q_simhash,
+        "q_simhash_neardup": _q_simhash_neardup,
+        "q_doc_fingerprint": _q_doc_fingerprint,
         # --- similarity search ----------------------------------------------
         "q_embedding_topk": _q_embedding_topk,
+        "q_embedding_ann_lsh": _q_embedding_ann_lsh,
         # --- relational operator coverage (SURVEY §2.6/2.7/2.8) ------------
         "q_agg_orders": _q_agg_orders,
         "q_join_broadcast": _q_join_broadcast,
@@ -101,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- non-SQL-expressible (rows-only checks; full parity in pytest) -
         "x_extract_documents": _x_extract_documents,
         "x_extract_transcripts": _x_extract_transcripts,
+        "x_multimodal_features": _x_multimodal_features,
     }
 
 
@@ -270,6 +345,196 @@ def _q_ngram_jaccard(spark, sf_dir):
     return j
 
 
+# MinHash + LSH near-dup (the scale path for q_ngram_jaccard): K=8 affine
+# min-hashes over shingle fingerprints, banded 4x2; docs sharing any band
+# become candidates; candidates are verified with EXACT Jaccard >= 0.5.
+# At 100 TB this replaces the all-pairs shingle join with a band-bucket
+# equi-join whose cost is ~linear in corpus size; both engines run the
+# identical deterministic banding, so results match by construction.
+def _q_minhash_lsh(spark, sf_dir):
+    s = _shingle_fps(_docs_with_planted_dups(spark, sf_dir))
+    a_arr = "array(" + ",".join(map(str, _MINHASH_A)) + ")"
+    b_arr = "array(" + ",".join(map(str, _MINHASH_B)) + ")"
+    ks = s.select(
+        "doc_id", "fp", F.explode(F.expr("sequence(0, 7)")).alias("k")
+    )
+    h = F.expr(
+        f"(element_at({a_arr}, k + 1) * fp + element_at({b_arr}, k + 1))"
+        f" % {_M31}"
+    )
+    sig = ks.groupBy("doc_id", "k").agg(F.min(h).alias("mh"))
+    bands = sig.groupBy(
+        "doc_id", (F.col("k") / 2).cast("int").alias("band")
+    ).agg(
+        F.min(F.when(F.col("k") % 2 == 0, F.col("mh"))).alias("mh0"),
+        F.min(F.when(F.col("k") % 2 == 1, F.col("mh"))).alias("mh1"),
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.mh0") == F.col("bb.mh0"))
+            & (F.col("ba.mh1") == F.col("bb.mh1"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"),
+            F.col("bb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    n = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = s.select(F.col("doc_id").alias("doc_a"), "fp")
+    sb = s.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "fp"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("shared"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.col("shared")
+                * F.lit(1000000.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            )
+            .cast("long")
+            .alias("jaccard_fp"),
+        )
+        .filter(F.col("jaccard_fp") >= 500000)
+    )
+
+
+def _simhash_df(spark, sf_dir):
+    """(doc_id, simhash): 32-bit SimHash over shingle fingerprints —
+    bit i is set iff more shingles have bit i set than clear.  Shingle
+    features (not words) keep the fingerprints diverse under the small
+    fixture vocabulary."""
+    s = _shingle_fps(_docs_with_planted_dups(spark, sf_dir))
+    bits = s.select(
+        "doc_id", "fp", F.explode(F.expr("sequence(0, 31)")).alias("b")
+    )
+    sgn = bits.groupBy("doc_id", "b").agg(
+        F.sum(F.expr("(shiftright(fp, b) & 1) * 2 - 1")).alias("s")
+    )
+    return sgn.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    return _simhash_df(spark, sf_dir)
+
+
+# SimHash near-dup: hamming(simhash_a, simhash_b) <= 3.  Banding the 32
+# bits into 4 bytes makes this EXACT at scale: 3 differing bits cannot
+# touch all 4 bands (pigeonhole), so every qualifying pair shares at
+# least one exact band and is found by the band equi-join.
+def _q_simhash_neardup(spark, sf_dir):
+    sim = _simhash_df(spark, sf_dir)
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr("sequence(0, 3)")).alias("j"),
+    ).withColumn("byte", F.expr("(shiftright(simhash, 8 * j)) & 255"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# Document fingerprint: bottom-4 MinHash sketch (k smallest shingle
+# fingerprints — winnowing-style selection, rolling 3-gram hash base).
+def _q_doc_fingerprint(spark, sf_dir):
+    s = _shingle_fps(_docs_with_planted_dups(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy(F.col("fp").asc())
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .select("doc_id", F.col("rnk").cast("long").alias("rnk"), "fp")
+    )
+
+
+# Sign-LSH ANN (the scale path for q_embedding_topk): bucket on the sign
+# pattern of the first 6 dimensions (random-hyperplane LSH with axis
+# hyperplanes), then exact top-3 cosine WITHIN the bucket.  Replaces the
+# all-pairs cross join with a bucket equi-join; recall is approximate,
+# but both engines run the identical deterministic plan.
+def _q_embedding_ann_lsh(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    bkt = sum(
+        F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(6)
+    )
+    ed = ed.withColumn("bkt", bkt.cast("int"))
+    q = ed.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bkt"
+    )
+    joined = q.join(
+        ed.select(F.col("vec_id").alias("neighbor_id"), "v", "bkt"), "bkt"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
+    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    sim_fp = F.floor(dot / (nq * nv) * F.lit(1000000.0)).cast("long")
+    scored = joined.select(
+        "query_id", "bkt", "neighbor_id", sim_fp.alias("sim_fp")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_fp").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("bkt").cast("long").alias("bkt"),
+            "neighbor_id",
+            "sim_fp",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 # Brute-force cosine top-k over the embeddings table (baseline ANN path):
 # query set = vec_id < 20; k = 5; all math in float64 with a sequential
 # fold so both engines produce bit-identical sums; similarity is
@@ -418,6 +683,19 @@ def _x_extract_transcripts(spark, sf_dir):
     )
 
 
+# Rows-only: multimodal binary-column plumbing (payload = utf-8 bytes as
+# media stand-in; decode step stubbed, Spark plumbing real — see
+# ocr_spark/functions/multimodal.py).
+def _x_multimodal_features(spark, sf_dir):
+    from ocr_spark.functions.multimodal import (
+        decode_media_features,
+        with_binary_payload,
+    )
+
+    d = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    return decode_media_features(with_binary_payload(d))
+
+
 # ---------------------------------------------------------------------------
 # oracles (DuckDB dialect)
 # ---------------------------------------------------------------------------
@@ -512,6 +790,119 @@ def oracle_sql() -> dict[str, str]:
             JOIN n na ON na.doc_id = doc_a
             JOIN n nb ON nb.doc_id = doc_b
             WHERE floor(shared * 1000000.0 / (na.n_sh + nb.n_sh - shared)) >= 500000
+        """,
+        "q_minhash_lsh": f"""
+            WITH {_SQL_SHINGLE_FPS},
+            ks AS (
+              SELECT doc_id, fp, unnest([0,1,2,3,4,5,6,7]) AS k FROM fps
+            ),
+            h AS (
+              SELECT doc_id, k,
+                     ({_MINHASH_A}[k+1] * fp + {_MINHASH_B}[k+1]) % {_M31} AS h
+              FROM ks
+            ),
+            sig AS (SELECT doc_id, k, min(h) AS mh FROM h GROUP BY 1, 2),
+            bands AS (
+              SELECT doc_id, k // 2 AS band,
+                     min(CASE WHEN k % 2 = 0 THEN mh END) AS mh0,
+                     min(CASE WHEN k % 2 = 1 THEN mh END) AS mh1
+              FROM sig GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
+               AND a.doc_id < b.doc_id
+            ),
+            n AS (SELECT doc_id, count(*) AS n_sh FROM fps GROUP BY 1),
+            shared AS (
+              SELECT c.doc_a, c.doc_b, count(*)::DOUBLE AS shared
+              FROM cand c
+              JOIN fps fa ON fa.doc_id = c.doc_a
+              JOIN fps fb ON fb.doc_id = c.doc_b AND fb.fp = fa.fp
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor(shared * 1000000.0 / (na.n_sh + nb.n_sh - shared))::BIGINT AS jaccard_fp
+            FROM shared
+            JOIN n na ON na.doc_id = doc_a
+            JOIN n nb ON nb.doc_id = doc_b
+            WHERE floor(shared * 1000000.0 / (na.n_sh + nb.n_sh - shared)) >= 500000
+        """,
+        "q_simhash": f"""
+            WITH {_SQL_SHINGLE_FPS},
+            bits AS (
+              SELECT doc_id, fp, unnest(range(32)) AS b FROM fps
+            ),
+            sgn AS (
+              SELECT doc_id, b, sum(((fp >> b) & 1) * 2 - 1) AS s
+              FROM bits GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+            FROM sgn GROUP BY doc_id
+        """,
+        "q_simhash_neardup": f"""
+            WITH {_SQL_SHINGLE_FPS},
+            bits AS (
+              SELECT doc_id, fp, unnest(range(32)) AS b FROM fps
+            ),
+            sgn AS (
+              SELECT doc_id, b, sum(((fp >> b) & 1) * 2 - 1) AS s
+              FROM bits GROUP BY 1, 2
+            ),
+            sim AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+              FROM sgn GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS byte
+              FROM (SELECT doc_id, simhash, unnest([0,1,2,3]) AS j FROM sim)
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sim_a, b.simhash AS sim_b
+              FROM banded a JOIN banded b
+                ON a.j = b.j AND a.byte = b.byte AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+            FROM pairs
+            WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        """,
+        "q_doc_fingerprint": f"""
+            WITH {_SQL_SHINGLE_FPS}
+            SELECT doc_id, rnk::BIGINT AS rnk, fp FROM (
+              SELECT doc_id, fp,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY fp ASC) AS rnk
+              FROM fps
+            ) WHERE rnk <= 4
+        """,
+        "q_embedding_ann_lsh": """
+            WITH ed AS (
+              SELECT vec_id, [x::DOUBLE for x in embedding] AS v,
+                     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+                    + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+                    + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, q.bkt, e.vec_id AS neighbor_id,
+                     floor(list_dot_product(q.v, e.v) /
+                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+                           * 1000000.0)::BIGINT AS sim_fp
+              FROM ed q JOIN ed e ON q.bkt = e.bkt AND q.vec_id != e.vec_id
+            )
+            SELECT query_id, bkt::BIGINT AS bkt, neighbor_id, sim_fp, rnk::BIGINT AS rnk
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim_fp DESC, neighbor_id ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
         """,
         "q_embedding_topk": """
             WITH ed AS (
