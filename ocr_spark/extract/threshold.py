@@ -25,6 +25,11 @@ from ocr_spark.constants import (
 )
 
 
+# module-level constant (G27 once-per-worker init): allocated once, not
+# per turn — otsu runs per turn in the UDF hot loop
+_BINS = np.arange(DENSITY_BINS, dtype=np.float64)
+
+
 def quantize(densities: np.ndarray) -> np.ndarray:
     """Quantize densities in [0,1] to integer bins 0..255 (uint8 analogue)."""
     q = np.floor(densities * (DENSITY_BINS - 1)).astype(np.int64)
@@ -90,17 +95,18 @@ def otsu_threshold(q: np.ndarray) -> int:
         return -1
     hist = np.bincount(q, minlength=DENSITY_BINS).astype(np.float64)
     total = hist.sum()
-    bins = np.arange(DENSITY_BINS, dtype=np.float64)
     omega = np.cumsum(hist)          # weight of class0 = {x <= t}
-    mu = np.cumsum(hist * bins)      # first moment of class0
+    mu = np.cumsum(hist * _BINS)     # first moment of class0
     mu_total = mu[-1]
     valid = (omega > 0) & (omega < total)
     if not valid.any():
         return int(q[0]) - 1
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sigma_b = (mu_total * omega - total * mu) ** 2 / (
-            omega * (total - omega)
-        )
+    # clamp invalid denominators to 1 instead of an errstate context
+    # (the context manager costs ~10us/call in this per-turn hot loop);
+    # valid entries' floats are untouched, invalid ones are overwritten
+    denom = omega * (total - omega)
+    denom[~valid] = 1.0
+    sigma_b = (mu_total * omega - total * mu) ** 2 / denom
     sigma_b[~valid] = -1.0
     return int(np.argmax(sigma_b))
 

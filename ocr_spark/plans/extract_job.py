@@ -137,22 +137,21 @@ def run_extract(
 
     # Idempotent per-bucket writes: dynamic partition overwrite replaces
     # exactly the buckets this run produced (SURVEY §4.3 resume row).
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(output_path)
-    )
+    # Destination routing (iceberg: prefix vs parquet path) lives in
+    # sinks/writers.py; both honor the same overwrite contract.
+    from ocr_spark.sinks.writers import read_output, write_extracted, write_lineage
+
+    write_extracted(out, output_path)
 
     # Lineage from the written data (single extra columnar scan; the
     # extraction itself is not recomputed).
-    written = spark.read.parquet(output_path)
+    written = read_output(spark, output_path)
     if skipped or resume:
         done = completed_buckets(spark, lineage_path, run_id)
         if done is not None:
             written = written.join(F.broadcast(done), "bucket", "left_anti")
     lin = lineage_from_output(written, run_id)
-    lin.write.mode("append").parquet(lineage_path)
+    write_lineage(lin, lineage_path)
 
     stats = {
         "buckets_skipped": skipped,

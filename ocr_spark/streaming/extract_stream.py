@@ -1,0 +1,61 @@
+"""Structured Streaming surface for the extraction pipeline.
+
+The batch north rule is resume-from-checkpoint batch (SURVEY.md §2.11),
+but the same per-turn operator runs unchanged as a continuous pipeline:
+`readStream` over an arriving-files transcripts directory →
+`extract_turns` (stateless mapInPandas — the whole G1-G26 pipeline) →
+`writeStream` parquet sink with Spark's own checkpointing.
+
+Design notes (scale):
+  - The extractor is a pure per-row map, so the streaming query is
+    STATELESS: no watermarks or state store, exactly-once via the file
+    sink's transaction log + source offsets in the checkpoint dir.  This
+    is the streaming twin of the batch job's lineage/anti-join resume.
+  - No repartition-by-bucket here: micro-batches are already bounded by
+    `maxFilesPerTrigger`, and a shuffle per micro-batch would add latency
+    for no ordering benefit (the sink is keyed by (conv_id, turn_idx);
+    stable ordering is restored at read time, same contract as batch).
+  - `available_now=True` drains the backlog then stops — used by tests
+    and backfills; production leaves it False for continuous tailing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ocr_spark.operators.extract_op import extract_turns
+from ocr_spark.sources.transcripts import TRANSCRIPTS_SCHEMA
+
+
+def stream_transcripts(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S1 streaming twin: a file-arrival stream of transcript parquet.
+    Schema must be declared for streaming sources (no inference)."""
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def run_extract_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Start the streaming extraction query (returns the live query)."""
+    turns = stream_transcripts(spark, input_path, max_files_per_trigger)
+    extracted = extract_turns(turns)
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
