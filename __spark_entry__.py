@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ----------------------------------------------
         "q_embedding_topk": _q_embedding_topk,
         "q_embedding_ann_lsh": _q_embedding_ann_lsh,
+        "q_embedding_neardup": _q_embedding_neardup,
         # --- relational operator coverage (SURVEY §2.6/2.7/2.8) ------------
         "q_agg_orders": _q_agg_orders,
         "q_join_broadcast": _q_join_broadcast,
@@ -569,6 +570,44 @@ def _q_embedding_topk(spark, sf_dir):
     )
 
 
+# Embedding-cosine near-dup: pairs with cosine >= 0.999, found through the
+# same 6-bit sign-LSH buckets as the ANN query (a scaled copy keeps every
+# sign, so true near-dups always share a bucket — exact for the planted
+# family, linear cost).  Planted dups: vec_id < 10 re-emitted as
+# vec_id + 1000000 scaled by 2 (cosine exactly 1 with the original).
+def _q_embedding_neardup(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = ed.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(2.0)).alias("v"),
+    )
+    alle = ed.unionByName(planted)
+    bkt = sum(
+        F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(6)
+    )
+    alle = alle.withColumn("bkt", bkt.cast("int"))
+    a = alle.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bkt")
+    b = alle.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bkt")
+    joined = a.join(b, "bkt").filter(F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    sim_fp = F.floor(dot / (na * nb) * F.lit(1000000.0)).cast("long")
+    return (
+        joined.select("vec_a", "vec_b", sim_fp.alias("sim_fp"))
+        .filter(F.col("sim_fp") >= 999000)
+    )
+
+
 # A5/A1 analogue: hash aggregate with multiple measures.
 def _q_agg_orders(spark, sf_dir):
     o = _tbl(spark, sf_dir, "orders")
@@ -903,6 +942,35 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY sim_fp DESC, neighbor_id ASC) AS rnk
               FROM scored
             ) WHERE rnk <= 3
+        """,
+        "q_embedding_neardup": """
+            WITH base AS (
+              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+            ),
+            alle AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, [x * 2.0 for x in v] AS v
+              FROM base WHERE vec_id < 10
+            ),
+            eb AS (
+              SELECT vec_id, v,
+                     (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+                    + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+                    + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
+                    + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END
+                    + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bkt
+              FROM alle
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   floor(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                         * 1000000.0)::BIGINT AS sim_fp
+            FROM eb a JOIN eb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+            WHERE floor(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                        * 1000000.0) >= 999000
         """,
         "q_embedding_topk": """
             WITH ed AS (
