@@ -116,7 +116,7 @@ def _force(df) -> None:
 
 
 def _extraction_run(master: str, shuffle_parts: int,
-                    turns_per_doc: int = 100, reps: int = 3) -> dict:
+                    turns_per_doc: int = 100, reps: int = 2) -> dict:
     """One full extraction job at the given parallelism; returns
     turns count + best-of-`reps` wall seconds (pipeline only; the
     sandbox VM shows ~2x run-to-run timing noise, so best-of-N).
@@ -161,7 +161,7 @@ def _pinned_extraction_run(n_cores: int) -> dict:
 
     cmd = ["taskset", "-c", f"0-{n_cores - 1}", sys.executable,
            os.path.abspath(__file__), "--scaling-run", str(n_cores)]
-    res = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     for line in res.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
@@ -173,30 +173,39 @@ def main() -> None:
     scaling = {}
     if DO_SCALING:
         # N and 4N parallelism on the SAME input (sandbox proxy for
-        # N / 4N executors; see BASELINE.md).  The VM's memory bandwidth
-        # does not scale with cores: pure multiprocessing extraction (no
-        # Spark at all) is measured at the same two widths as the
-        # hardware ceiling, and the plan's scaling efficiency is the
-        # Spark speedup relative to that ceiling speedup — this isolates
-        # "does the plan serialize anywhere", which is what transfers to
-        # a real N->4N-executor cluster with per-executor resources.
+        # N / 4N executors; see BASELINE.md).  Widths are chosen BELOW
+        # this VM's memory-bandwidth wall: the batched extractor is fast
+        # enough that pure multiprocessing (no Spark) saturates the bus
+        # around ~8 cores (hw speedup 8->32 is only ~1.3x), so 8 vs 32
+        # would measure the host bus, not the plan.  At 2 vs 8 pinned
+        # cores the hardware itself scales ~4x and the plan's scaling is
+        # actually observable.  The wall is documented by the secondary
+        # probe below; the no-Spark ceiling at each width bounds what any
+        # framework could achieve.
         pdf = _derive_payloads_pandas(turns_per_doc=100)
-        hw8 = _hw_ceiling(pdf, 8)
-        hw32 = _hw_ceiling(pdf, 32)
+        hw_n = _hw_ceiling(pdf, 2, reps=2)
+        hw_4n = _hw_ceiling(pdf, 8, reps=2)
+        hw_wall = _hw_ceiling(pdf, 32, reps=1)
         del pdf
-        r8 = _pinned_extraction_run(8)
-        r32 = _pinned_extraction_run(32)
-        speedup = r32["turns_per_sec"] / r8["turns_per_sec"]
-        hw_speedup = hw32["turns_per_sec"] / hw8["turns_per_sec"]
+        r_n = _pinned_extraction_run(2)
+        r_4n = _pinned_extraction_run(8)
+        speedup = r_4n["turns_per_sec"] / r_n["turns_per_sec"]
+        hw_speedup = hw_4n["turns_per_sec"] / hw_n["turns_per_sec"]
         scaling = {
-            "n_cores": r8,
-            "4n_cores": r32,
+            "n_cores": r_n,
+            "4n_cores": r_4n,
             "speedup": round(speedup, 3),
             "efficiency_raw": round(speedup / 4.0, 3),
-            "hw_ceiling_n": hw8,
-            "hw_ceiling_4n": hw32,
+            "hw_ceiling_n": hw_n,
+            "hw_ceiling_4n": hw_4n,
             "hw_speedup": round(hw_speedup, 3),
             "efficiency_vs_hw_ceiling": round(speedup / hw_speedup, 3),
+            "bandwidth_wall_probe": {
+                "hw_ceiling_32": hw_wall,
+                "note": "pure-mp extraction saturates the VM memory bus "
+                        "near 8 cores; beyond it throughput is bus-bound, "
+                        "not plan-bound",
+            },
         }
 
     import __spark_entry__ as entry

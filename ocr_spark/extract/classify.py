@@ -53,6 +53,27 @@ def content_scores(
     return np.clip(score, 0.0, 1.0)
 
 
+def content_scores_batch(
+    q: np.ndarray, link_density: np.ndarray, otsu_t: np.ndarray
+) -> np.ndarray:
+    """Elementwise twin of content_scores with a PER-BLOCK otsu threshold
+    array (each block carries its turn's split) — bit-identical ops, so
+    flat cross-turn batching gives the same floats as per-turn calls."""
+    if len(q) == 0:
+        return np.zeros(0, dtype=np.float64)
+    qf = q.astype(np.float64)
+    tf = otsu_t.astype(np.float64)
+    safe_denom = np.where(otsu_t < 0, 1.0, tf + 1.0)
+    d_score = np.where(
+        otsu_t < 0,
+        np.where(q > 0, 1.0, 0.0),
+        np.where(q > otsu_t, 1.0, 0.5 * qf / safe_denom),
+    )
+    link_pen = np.minimum(link_density / LINK_DENSITY_MAX, 1.0)
+    score = W_DENSITY * d_score + W_LINK * (1.0 - link_pen)
+    return np.clip(score, 0.0, 1.0)
+
+
 def accept(scores: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """G20/G21/G22: label -> rescue -> gate.  Returns (accepted, prob).
 

@@ -45,6 +45,19 @@ from ocr_spark.extract.threshold import (
 _RE_ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a>", re.IGNORECASE | re.DOTALL)
 _RE_NONSPACE = re.compile(r"\S")
 _RE_ALNUM = re.compile(r"[0-9A-Za-z]")
+# Run-collapsed complements for COUNTING: len(x) after removing \s runs ==
+# number of \S chars (exact complement, same regex unicode semantics), one
+# sub call instead of a findall materializing a list of 1-char matches.
+_RE_WS_RUNS = re.compile(r"\s+")
+_RE_NON_ALNUM_RUNS = re.compile(r"[^0-9A-Za-z]+")
+
+
+def _count_nonspace(s: str) -> int:
+    return len(_RE_WS_RUNS.sub("", s))
+
+
+def _count_alnum(s: str) -> int:
+    return len(_RE_NON_ALNUM_RUNS.sub("", s))
 
 # Output schema shared by oracle, batch job, and streaming sink.
 OUTPUT_SCHEMA_DDL = (
@@ -76,10 +89,10 @@ def _block_features(canon: str, blocks: list[Block]) -> dict[str, np.ndarray]:
     for i, b in enumerate(blocks):
         raw = canon[b.start : b.end]
         vis = strip_tags(raw)
-        nvis = len(_RE_NONSPACE.findall(vis))
-        alnum = len(_RE_ALNUM.findall(vis))
+        nvis = _count_nonspace(vis)
+        alnum = _count_alnum(vis)
         link_chars = sum(
-            len(_RE_NONSPACE.findall(strip_tags(m.group(1))))
+            _count_nonspace(strip_tags(m.group(1)))
             for m in _RE_ANCHOR.finditer(raw)
         )
         vis_chars[i] = nvis
@@ -193,14 +206,142 @@ def _envelope(
     }
 
 
+def _extract_batch_results(texts: list) -> list[dict[str, Any]]:
+    """Cross-turn batched pipeline: per-turn regex stages stay rowwise,
+    the numeric stages (quantize, adaptive threshold, Otsu, scoring,
+    gating) run ONCE over the flat block arrays of the whole batch.
+    Result-identical to [extract_turn(t) for t in texts] — guaranteed by
+    shared elementwise ops + batch twins proven bit-identical to the
+    scalar path (tests/test_batch_parity.py); each row's result depends
+    only on its own blocks (row-purity: no batch-size effects).
+    """
+    from ocr_spark.extract.classify import content_scores_batch
+    from ocr_spark.extract.threshold import (
+        adaptive_candidates_batch,
+        otsu_split_batch,
+    )
+
+    n = len(texts)
+    results: list = [None] * n
+    canons: list = [None] * n
+    blocks_l: list = [None] * n
+
+    # --- stage A (rowwise): canonicalize -> segment -> block features ----
+    dens_parts, link_parts, words_parts, vis_parts, pos_parts = [], [], [], [], []
+    lengths = np.zeros(n, dtype=np.int64)
+    for i, text in enumerate(texts):
+        if text is None or not isinstance(text, str):
+            results[i] = _envelope("", [], 0, STATUS_ERROR)
+            continue
+        try:
+            canon, _trunc = canonicalize(text)
+            if not canon.strip():
+                results[i] = _envelope("", [], 0, STATUS_EMPTY)
+                continue
+            blocks = segment(canon)
+            feats = _block_features(canon, blocks)
+        except Exception:
+            results[i] = _envelope("", [], 0, STATUS_ERROR)
+            continue
+        canons[i] = canon
+        blocks_l[i] = blocks
+        lengths[i] = len(blocks)
+        dens_parts.append(feats["density"])
+        link_parts.append(feats["link_density"])
+        words_parts.append(feats["words"])
+        vis_parts.append(feats["vis_chars"])
+        pos_parts.append(feats["pos_frac"])
+
+    active = [i for i in range(n) if results[i] is None]
+    if not active:
+        return results
+
+    # --- stage B (batched over all blocks of all active turns) -----------
+    active_lengths = lengths[active]
+    starts = np.zeros(len(active), dtype=np.int64)
+    np.cumsum(active_lengths[:-1], out=starts[1:])
+    turn_ids = np.repeat(np.arange(len(active)), active_lengths)
+    density = np.concatenate(dens_parts) if dens_parts else np.zeros(0)
+    link = np.concatenate(link_parts) if link_parts else np.zeros(0)
+    words = np.concatenate(words_parts) if words_parts else np.zeros(0, dtype=np.int64)
+    vis = np.concatenate(vis_parts) if vis_parts else np.zeros(0, dtype=np.int64)
+    pos = np.concatenate(pos_parts) if pos_parts else np.zeros(0)
+
+    q_all = quantize(density)
+    cand = adaptive_candidates_batch(q_all, starts, active_lengths)
+    # G5 gap closing is a per-turn sequential scan over a tiny bool run
+    for a, (s, ln) in enumerate(zip(starts, active_lengths)):
+        if ln:
+            cand[s : s + ln] = close_gaps(cand[s : s + ln])
+    keep = (
+        cand
+        & (vis >= MIN_BLOCK_CHARS)
+        & ~((pos > FOOTER_FRAC) & (words < FOOTER_MAX_WORDS))
+        & (link <= LINK_DENSITY_MAX)
+        & (words >= MIN_WORDS)
+    )
+    otsu_t = otsu_split_batch(q_all, turn_ids, starts, active_lengths, len(active))
+    surv_flat = np.nonzero(keep)[0]
+    scores = content_scores_batch(
+        q_all[surv_flat], link[surv_flat], otsu_t[turn_ids[surv_flat]]
+    )
+    accepted, prob = accept(scores)
+    surv_turn = turn_ids[surv_flat]
+
+    # --- stage C (rowwise): fallback / pad / merge / emit ----------------
+    surv_bounds = np.searchsorted(surv_turn, np.arange(len(active) + 1))
+    for a, i in enumerate(active):
+        try:
+            lo_k, hi_k = surv_bounds[a], surv_bounds[a + 1]
+            if lo_k == hi_k:
+                # G14 whole-turn fallback: rare path, re-run the scalar
+                # pipeline (pure function -> identical result)
+                results[i] = _extract_turn_inner(texts[i])
+                continue
+            canon = canons[i]
+            blocks = blocks_l[i]
+            base = starts[a]
+            padded: list[tuple[int, int, float]] = []
+            for k in range(lo_k, hi_k):
+                if not accepted[k]:
+                    continue
+                b = blocks[int(surv_flat[k] - base)]
+                plo, phi = pad_span(canon, b.start, b.end, b.raw_start, b.raw_end)
+                if plo < phi:
+                    padded.append((plo, phi, float(prob[k])))
+            merged = merge_spans(canon, padded)
+            spans = [
+                {
+                    "start": int(s),
+                    "end": int(e),
+                    "score": float(np.float32(p)),
+                    "position": idx + 1,
+                }
+                for idx, (s, e, p) in enumerate(merged)
+            ]
+            extracted = "\n".join(canon[s:e] for s, e, _ in merged)
+            status = STATUS_OK if spans else STATUS_EMPTY
+            results[i] = _envelope(extracted, spans, len(blocks), status)
+        except Exception:
+            results[i] = _envelope("", [], 0, STATUS_ERROR)
+    return results
+
+
 def extract_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     """Run the pipeline over a batch of turns.
 
     Input columns: conv_id, turn_idx, text (extra columns ignored).
     Output columns: OUTPUT_SCHEMA_DDL.  This one function is both the
     single-process oracle and the body of the mapInPandas operator.
+    The numeric stages are batched across turns (_extract_batch_results);
+    if the batched path ever fails as a whole it degrades to the scalar
+    per-turn loop, preserving G26 per-turn failure isolation.
     """
-    results = [extract_turn(t) for t in pdf["text"].tolist()]
+    texts = pdf["text"].tolist()
+    try:
+        results = _extract_batch_results(texts)
+    except Exception:
+        results = [extract_turn(t) for t in texts]
     return pd.DataFrame(
         {
             "conv_id": pdf["conv_id"].astype(str).values,

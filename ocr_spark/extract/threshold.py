@@ -37,12 +37,17 @@ def quantize(densities: np.ndarray) -> np.ndarray:
 
 
 def moving_average(x: np.ndarray, window: int) -> np.ndarray:
-    """Centered moving average, zero-padded edges (np.convolve 'same')."""
+    """Centered moving average, zero-padded edges (np.convolve 'same'
+    semantics).  Delegates to the batched implementation so the scalar
+    (oracle/test) path and the batched hot path are bit-identical by
+    construction — ulp-level summation-order differences here would flip
+    strict-> comparisons in adaptive_candidates on exact-tie inputs."""
     if len(x) == 0:
         return x.astype(np.float64)
     w = min(window, len(x))
-    kernel = np.ones(w, dtype=np.float64) / w
-    return np.convolve(x.astype(np.float64), kernel, mode="same")
+    return moving_average_batch(
+        x.astype(np.float64)[None, :], w, np.array([len(x)])
+    )[0]
 
 
 def adaptive_candidates(q: np.ndarray) -> np.ndarray:
@@ -109,6 +114,131 @@ def otsu_threshold(q: np.ndarray) -> int:
     sigma_b = (mu_total * omega - total * mu) ** 2 / denom
     sigma_b[~valid] = -1.0
     return int(np.argmax(sigma_b))
+
+
+def moving_average_batch(mat: np.ndarray, w: int, lengths: np.ndarray) -> np.ndarray:
+    """Row-wise moving average over a zero-padded 2-D batch, bit-identical
+    to `moving_average(row[:n], w)` per row (tests/test_batch_parity.py).
+
+    Replicates np.convolve(x, ones(w)/w, 'same') exactly: products are
+    x*(1/w) accumulated in convolve's kernel order (descending x index
+    per output element); columns beyond each row's length are zero so the
+    extra terms add exact +0.0.  `lengths` masks stale tail columns to 0
+    afterwards so a second pass (the local-mean stage) never reads them.
+    """
+    n_rows, n_cols = mat.shape
+    k = 1.0 / w
+    off = (w - 1) // 2
+    left = w - 1 - off
+    pad = np.zeros((n_rows, n_cols + w - 1), dtype=np.float64)
+    pad[:, left : left + n_cols] = mat
+    acc = np.zeros((n_rows, n_cols), dtype=np.float64)
+    # accumulate in convolve's internal order: ascending x index
+    for j in range(w):
+        acc += pad[:, j : j + n_cols] * k
+    # zero the padding tail: positions >= row length are not part of the
+    # row's series and must not leak into downstream windowed stages
+    col = np.arange(n_cols)
+    acc[col[None, :] >= lengths[:, None]] = 0.0
+    return acc
+
+
+def adaptive_candidates_batch(
+    q_flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+) -> np.ndarray:
+    """Batched adaptive_candidates over many turns' density series.
+
+    q_flat holds all turns' quantized densities back-to-back;
+    starts/lengths delimit each turn.  Turns are grouped by their
+    effective window min(n, ADAPTIVE_WINDOW) — the kernel length must be
+    constant within a 2-D batch — and each group is processed as one
+    zero-padded matrix.  Output is the flat candidate mask, bit-identical
+    to per-turn adaptive_candidates.
+    """
+    out = np.zeros(len(q_flat), dtype=bool)
+    if len(q_flat) == 0:
+        return out
+    lengths = np.asarray(lengths)
+    starts = np.asarray(starts)
+    clamp = np.minimum(lengths, ADAPTIVE_WINDOW)
+    for c in np.unique(clamp):
+        if c == 0:
+            continue
+        rows = np.nonzero(clamp == c)[0]
+        width = int(lengths[rows].max())
+        mat = np.zeros((len(rows), width), dtype=np.float64)
+        col = np.arange(width)
+        row_len = lengths[rows]
+        mask = col[None, :] < row_len[:, None]
+        flat_idx = (starts[rows][:, None] + col[None, :])[mask]
+        mat[mask] = q_flat[flat_idx]
+        w1 = min(SMOOTH_WINDOW, int(c))
+        smooth = moving_average_batch(mat, w1, row_len)
+        local = moving_average_batch(smooth, int(c), row_len)
+        cand = smooth > local - ADAPTIVE_C
+        out[flat_idx] = cand[mask]
+    return out
+
+
+def otsu_split_batch(
+    q_flat: np.ndarray, turn_ids: np.ndarray, starts: np.ndarray,
+    lengths: np.ndarray, n_turns: int,
+) -> np.ndarray:
+    """Batched otsu_split in SPARSE form: O(total blocks) work instead of
+    O(n_turns * 256) dense histograms (fresh multi-MB arrays page-fault
+    heavily on this VM).  Value-identical to per-turn otsu_split:
+
+    Between-class variance sigma(t) is a step function changing only at
+    occupied bins, and each plateau starts AT an occupied bin, so the
+    dense argmax (first index of the max) always lands on an occupied bin
+    with omega < total.  Evaluating sigma only there — with the exact
+    same integer-valued float64 operands and op order — reproduces the
+    dense result bit-for-bit; ties break to the lowest bin via the sort
+    key, matching np.argmax.
+    """
+    t_out = np.full(n_turns, -1, dtype=np.int64)
+    if len(q_flat) == 0:
+        return t_out
+    starts = np.asarray(starts)
+    lengths = np.asarray(lengths)
+    # sort blocks by (turn, bin); turns stay contiguous
+    order = np.lexsort((q_flat, turn_ids))
+    qs = q_flat[order].astype(np.float64)
+    ts = turn_ids[order]
+    pos = np.arange(len(qs))
+    t_start = starts[ts]
+    omega = (pos - t_start + 1).astype(np.float64)   # count of values <= q at last occurrence
+    csum0 = np.concatenate([[0.0], np.cumsum(qs)])   # exact ints in float64
+    mu = csum0[pos + 1] - csum0[t_start]             # sum of values <= q
+    total = lengths[ts].astype(np.float64)
+    ends = starts + lengths
+    mu_total_turn = csum0[ends] - csum0[starts]
+    mu_total = mu_total_turn[ts]
+    last = np.ones(len(qs), dtype=bool)
+    last[:-1] = (ts[1:] != ts[:-1]) | (qs[1:] != qs[:-1])
+    cand = last & (omega < total)
+    if not cand.any():
+        return t_out
+    tc = ts[cand]
+    qc = qs[cand]
+    oc = omega[cand]
+    mc = mu[cand]
+    totc = total[cand]
+    mtc = mu_total[cand]
+    denom = oc * (totc - oc)
+    sigma = (mtc * oc - totc * mc) ** 2 / denom
+    # winner per turn: max sigma, ties -> lowest bin (np.argmax order)
+    win_order = np.lexsort((qc, -sigma, tc))
+    first = np.ones(len(win_order), dtype=bool)
+    tw = tc[win_order]
+    first[1:] = tw[1:] != tw[:-1]
+    w = win_order[first]
+    # bimodality guard: class-mean separation >= OTSU_MIN_SEPARATION
+    lo_mean = mc[w] / oc[w]
+    hi_mean = (mtc[w] - mc[w]) / (totc[w] - oc[w])
+    sep_ok = hi_mean - lo_mean >= OTSU_MIN_SEPARATION
+    t_out[tc[w][sep_ok]] = qc[w][sep_ok].astype(np.int64)
+    return t_out
 
 
 def otsu_split(q: np.ndarray) -> int:

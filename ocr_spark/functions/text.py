@@ -45,18 +45,22 @@ def token_count_bpe_ish(col: Column) -> Column:
 @F.pandas_udf(StringType())
 def extract_text(text: pd.Series) -> pd.Series:
     """Thin scalar wrapper over the pure extractor for SQL composability:
-    SELECT extract_text(text) — returns extracted_text only (G24)."""
-    from ocr_spark.extract.extractor import extract_turn
+    SELECT extract_text(text) — returns extracted_text only (G24).
+    Runs the cross-turn batched pipeline per Arrow batch (result-identical
+    to per-row extract_turn; tests/test_batch_parity.py)."""
+    from ocr_spark.extract.extractor import _extract_batch_results
 
-    return text.map(lambda t: extract_turn(t)["extracted_text"])
+    res = _extract_batch_results(text.tolist())
+    return pd.Series([r["extracted_text"] for r in res])
 
 
 @F.pandas_udf(IntegerType())
 def extracted_block_count(text: pd.Series) -> pd.Series:
     """Number of accepted spans per payload (A5 analogue)."""
-    from ocr_spark.extract.extractor import extract_turn
+    from ocr_spark.extract.extractor import _extract_batch_results
 
-    return text.map(lambda t: extract_turn(t)["n_blocks_kept"]).astype("int32")
+    res = _extract_batch_results(text.tolist())
+    return pd.Series([r["n_blocks_kept"] for r in res]).astype("int32")
 
 
 def register_all(spark) -> None:
