@@ -354,22 +354,30 @@ def _q_ngram_jaccard(spark, sf_dir):
 # identical deterministic banding, so results match by construction.
 def _q_minhash_lsh(spark, sf_dir):
     s = _shingle_fps(_docs_with_planted_dups(spark, sf_dir))
-    a_arr = "array(" + ",".join(map(str, _MINHASH_A)) + ")"
-    b_arr = "array(" + ",".join(map(str, _MINHASH_B)) + ")"
-    ks = s.select(
-        "doc_id", "fp", F.explode(F.expr("sequence(0, 7)")).alias("k")
+    # all K min-hashes in ONE aggregation over the raw shingle rows (no
+    # x8 explode): 8x less pre-shuffle data and map-side partial mins
+    sig = s.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_MINHASH_A[k]) * F.col("fp") + F.lit(_MINHASH_B[k]))
+                % F.lit(_M31)
+            ).alias(f"mh{k}")
+            for k in range(8)
+        ]
     )
-    h = F.expr(
-        f"(element_at({a_arr}, k + 1) * fp + element_at({b_arr}, k + 1))"
-        f" % {_M31}"
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.col(f"mh{2 * j}").alias("mh0"),
+                F.col(f"mh{2 * j + 1}").alias("mh1"),
+            )
+            for j in range(4)
+        ]
     )
-    sig = ks.groupBy("doc_id", "k").agg(F.min(h).alias("mh"))
-    bands = sig.groupBy(
-        "doc_id", (F.col("k") / 2).cast("int").alias("band")
-    ).agg(
-        F.min(F.when(F.col("k") % 2 == 0, F.col("mh"))).alias("mh0"),
-        F.min(F.when(F.col("k") % 2 == 1, F.col("mh"))).alias("mh1"),
-    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", "b.band", "b.mh0", "b.mh1")
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     cand = (
@@ -421,18 +429,19 @@ def _simhash_df(spark, sf_dir):
     features (not words) keep the fingerprints diverse under the small
     fixture vocabulary."""
     s = _shingle_fps(_docs_with_planted_dups(spark, sf_dir))
-    bits = s.select(
-        "doc_id", "fp", F.explode(F.expr("sequence(0, 31)")).alias("b")
+    # all 32 bit-sums in ONE aggregation (no x32 explode): the per-bit
+    # sign sums arrive as 32 columns, then fold into the fingerprint
+    sgn = s.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(fp, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+            for b in range(32)
+        ]
     )
-    sgn = bits.groupBy("doc_id", "b").agg(
-        F.sum(F.expr("(shiftright(fp, b) & 1) * 2 - 1")).alias("s")
+    simhash = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(32)
     )
-    return sgn.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
-            .otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    return sgn.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 def _q_simhash(spark, sf_dir):
