@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": _q_embedding_neardup,
         # --- relational operator coverage (SURVEY §2.6/2.7/2.8) ------------
         "q_agg_orders": _q_agg_orders,
+        "q_rollup_orders": _q_rollup_orders,
         "q_join_broadcast": _q_join_broadcast,
         "q_anti_join": _q_anti_join,
         "q_topk_per_group": _q_topk_per_group,
@@ -626,6 +627,16 @@ def _q_agg_orders(spark, sf_dir):
     )
 
 
+# Multi-level aggregation: ROLLUP over (status, priority) — subtotal and
+# grand-total rows carry NULL group keys identically in both engines.
+def _q_rollup_orders(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.floor(F.sum("o_totalprice") * F.lit(100.0)).cast("long").alias("sum_price_fp"),
+    )
+
+
 # Harness correctness join (SURVEY §2.7): broadcast equi-join.
 def _q_join_broadcast(spark, sf_dir):
     o = _tbl(spark, sf_dir, "orders")
@@ -1003,6 +1014,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_orders,
                    floor(sum(o_totalprice) * 100.0)::BIGINT AS sum_price_fp
             FROM orders GROUP BY 1
+        """,
+        "q_rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*)::BIGINT AS n_orders,
+                   floor(sum(o_totalprice) * 100.0)::BIGINT AS sum_price_fp
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "q_join_broadcast": """
             SELECT c_mktsegment,
