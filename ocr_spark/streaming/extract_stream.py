@@ -39,6 +39,50 @@ def stream_transcripts(
     return reader.parquet(input_path)
 
 
+def run_turn_rate_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    watermark: str = "30 minutes",
+    window: str = "1 hour",
+) -> StreamingQuery:
+    """Stateful streaming aggregation with late-data handling: turns per
+    (event-time window, role), watermarked.
+
+    Append mode + watermark = a window emits exactly once, when the
+    watermark (max event time - `watermark`) passes its end; turns later
+    than the watermark are dropped rather than corrupting closed windows.
+    This is the monitoring-side twin of the extraction stream (per-window
+    turn rates feed capacity planning for the 10^12-turn pipeline); state
+    is bounded by watermark horizon, not stream length.
+    """
+    import pyspark.sql.functions as F
+
+    turns = stream_transcripts(spark, input_path)
+    agg = (
+        turns.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_extract_stream(
     spark: SparkSession,
     input_path: str,

@@ -65,3 +65,52 @@ def test_stream_checkpoint_exactly_once(spark, dirs):
     out = spark.read.parquet(outp)
     assert out.count() == len(first) + len(second)
     assert out.filter(out.conv_id.startswith("second-")).count() == len(second)
+
+
+def _mk_turns(conv_prefix, hours, per_hour=6):
+    import datetime as dt
+
+    rows = []
+    for h in hours:
+        for i in range(per_hour):
+            rows.append(
+                {
+                    "conv_id": f"{conv_prefix}-{h}-{i}",
+                    "turn_idx": 0,
+                    "role": "user" if i % 2 == 0 else "assistant",
+                    "text": "some content words here for the extractor",
+                    "tool": "",
+                    "ts": dt.datetime(2024, 1, 1, h, (i * 7) % 60, 0),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def test_stream_watermark_windowed_counts(spark, dirs):
+    from ocr_spark.streaming import run_turn_rate_stream
+
+    inp, outp, ckpt = dirs
+
+    def drain():
+        q = run_turn_rate_stream(spark, inp, outp, ckpt, available_now=True)
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # hour-0 and hour-1 data, then an hour-3 batch that advances the
+    # watermark (3:35 - 30min = 3:05) past the ends of windows 0,1,2
+    _write_batch(spark, _mk_turns("a", [0, 1]), inp)
+    drain()
+    _write_batch(spark, _mk_turns("b", [3]), inp)
+    drain()
+    out = spark.read.parquet(outp).toPandas()
+    closed = out[out.window_start.map(lambda t: t.hour) <= 1]
+    # hour 0 and hour 1 each: 6 turns = 3 user + 3 assistant
+    got = {
+        (r.window_start.hour, r.role): r.n_turns for r in closed.itertuples()
+    }
+    assert got == {
+        (0, "user"): 3, (0, "assistant"): 3,
+        (1, "user"): 3, (1, "assistant"): 3,
+    }
+    # the hour-3 window is NOT closed yet (watermark hasn't passed its end)
+    assert not (out.window_start.map(lambda t: t.hour) == 3).any()
