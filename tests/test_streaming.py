@@ -2,6 +2,8 @@
 query must produce byte-identical results to the batch oracle, and the
 checkpoint must make file delivery exactly-once across restarts."""
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -114,3 +116,52 @@ def test_stream_watermark_windowed_counts(spark, dirs):
     }
     # the hour-3 window is NOT closed yet (watermark hasn't passed its end)
     assert not (out.window_start.map(lambda t: t.hour) == 3).any()
+
+
+def test_stream_stateful_conversation_assembly(spark, dirs):
+    from ocr_spark.streaming.stateful import run_conversation_assembly_stream
+
+    inp, outp, ckpt = dirs
+
+    def drain():
+        q = run_conversation_assembly_stream(
+            spark, inp, outp, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    import datetime as dt
+
+    def turns(conv, hour, idxs):
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": conv,
+                    "turn_idx": i,
+                    "role": "user" if i % 2 == 0 else "assistant",
+                    "text": "x" * 10,
+                    "tool": "",
+                    "ts": dt.datetime(2024, 1, 1, hour, i, 0),
+                }
+                for i in idxs
+            ]
+        )
+
+    # conv-a spans two micro-deliveries within hour 0
+    _write_batch(spark, pd.concat([turns("conv-a", 0, [0, 1]), turns("conv-b", 0, [0])]), inp)
+    drain()
+    _write_batch(spark, turns("conv-a", 0, [2, 3]), inp)
+    drain()
+    assert not os.path.exists(outp) or spark.read.parquet(outp).count() == 0
+
+    # hour-2 activity on a NEW conversation advances the watermark past
+    # conv-a/conv-b idle horizon -> their summaries emit
+    _write_batch(spark, turns("conv-late", 2, [0]), inp)
+    drain()
+    out = spark.read.parquet(outp).toPandas().set_index("conv_id")
+    assert set(out.index) == {"conv-a", "conv-b"}
+    a = out.loc["conv-a"]
+    assert int(a.n_turns) == 4 and int(a.n_user) == 2 and int(a.n_assistant) == 2
+    assert int(a.n_chars) == 40
+    assert int(a.first_turn_idx) == 0 and int(a.last_turn_idx) == 3
+    assert int(out.loc["conv-b"].n_turns) == 1
