@@ -296,12 +296,7 @@ def _q_dedup_exact(spark, sf_dir):
 # (docs with doc_id < 25 re-emitted under doc_id + 1000000 with the first
 # 3 words dropped) guarantee non-trivial pairs at every sf.
 def _q_ngram_jaccard(spark, sf_dir):
-    d = _docs_wide(spark, sf_dir).select("doc_id", "text")
-    mutated = d.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
-        F.expr("concat_ws(' ', slice(split(text, ' '), 4, 1000000))").alias("text"),
-    )
-    alld = d.unionByName(mutated)
+    alld = _docs_with_planted_dups(spark, sf_dir)
     # materialize the word array ONCE per row; inlining split() into the
     # transform lambda would re-split the text for every shingle element
     # (O(words^2) splits per doc — measured 10x slowdown)

@@ -8,12 +8,14 @@ and prints ONE JSON line:
    "queries": {...}, "sf": ..., "turns_per_sec": ..., "scaling": {...}}
 
 The north-rule scaling criterion (throughput efficiency >= 0.8 from N to
-4N executors) cannot use a real cluster in this sandbox, so it is
-evidenced by running the identical extraction job at local[8] and
-local[32] on the same input (SparkContext is stopped and rebuilt between
-masters inside one process) and reporting turns/sec at both plus
-efficiency = (T8/T32) / 4 ... actually efficiency = speedup / 4 where
-speedup = throughput32 / throughput8.
+4N executors) cannot use a real cluster in this sandbox.  It is
+evidenced by running the IDENTICAL extraction job in subprocesses pinned
+with taskset to N and 4N CPUs (default N=2 -> 4N=8; widths chosen below
+this VM's memory-bandwidth wall, see BASELINE.md) on the same input, and
+reporting turns/sec at both plus efficiency = speedup / 4.  A no-Spark
+multiprocessing run of the same extraction at the same widths is
+reported as the hardware ceiling, plus a 32-proc probe documenting the
+bandwidth wall.
 
 Each query is forced end-to-end with a `noop`-format write (full
 computation, no driver collect) so timings measure the distributed plan,
@@ -185,7 +187,8 @@ def main() -> None:
         pdf = _derive_payloads_pandas(turns_per_doc=100)
         hw_n = _hw_ceiling(pdf, 2, reps=2)
         hw_4n = _hw_ceiling(pdf, 8, reps=2)
-        hw_wall = _hw_ceiling(pdf, 32, reps=1)
+        wall_procs = min(32, os.cpu_count() or 8)
+        hw_wall = _hw_ceiling(pdf, wall_procs, reps=1)
         del pdf
         r_n = _pinned_extraction_run(2)
         r_4n = _pinned_extraction_run(8)
@@ -217,6 +220,16 @@ def main() -> None:
     # pay executor/scan warmup
     for t in ("documents", "embeddings", "orders", "customer", "events"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    # ...and spawn+import the Python UDF workers (one per core) so the
+    # first Python-UDF query measures steady state, not 32 worker spawns
+    def _noop_udf(it):
+        from ocr_spark.extract import extract_frame  # worker-side import
+
+        for pdf in it:
+            yield pdf
+    spark.range(CPUS * 4).repartition(CPUS).selectExpr(
+        "cast(id as string) AS conv_id", "0 AS turn_idx", "'w' AS text"
+    ).mapInPandas(_noop_udf, "conv_id string, turn_idx int, text string").count()
 
     qs = entry.queries()
     per_query: dict[str, float] = {}

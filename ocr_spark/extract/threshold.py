@@ -117,14 +117,16 @@ def otsu_threshold(q: np.ndarray) -> int:
 
 
 def moving_average_batch(mat: np.ndarray, w: int, lengths: np.ndarray) -> np.ndarray:
-    """Row-wise moving average over a zero-padded 2-D batch, bit-identical
-    to `moving_average(row[:n], w)` per row (tests/test_batch_parity.py).
+    """Row-wise moving average over a zero-padded 2-D batch.
 
-    Replicates np.convolve(x, ones(w)/w, 'same') exactly: products are
-    x*(1/w) accumulated in convolve's kernel order (descending x index
-    per output element); columns beyond each row's length are zero so the
-    extra terms add exact +0.0.  `lengths` masks stale tail columns to 0
-    afterwards so a second pass (the local-mean stage) never reads them.
+    np.convolve(x, ones(w)/w, 'same') SEMANTICS with a pinned
+    accumulation order (products x*(1/w) added in ascending x index per
+    output element) — the order is ours, documented, and frozen by exact
+    golden bits in tests/test_batch_parity.py; the scalar moving_average
+    delegates here so oracle and batched hot path share one float path.
+    Columns beyond each row's length are zero so the extra terms add
+    exact +0.0 (no cross-row leakage); `lengths` masks stale tail columns
+    back to 0 so a second pass (the local-mean stage) never reads them.
     """
     n_rows, n_cols = mat.shape
     k = 1.0 / w

@@ -3,3 +3,6 @@ from ocr_spark.streaming.extract_stream import (  # noqa: F401
     run_turn_rate_stream,
     stream_transcripts,
 )
+from ocr_spark.streaming.stateful import (  # noqa: F401
+    run_conversation_assembly_stream,
+)

@@ -78,16 +78,53 @@ def test_parity_hypothesis(texts):
     _assert_frame_matches_scalar(texts)
 
 
+# moving_average delegates to moving_average_batch, so scalar-vs-batch is
+# equal by construction; the float SEMANTICS are pinned by exact goldens
+# (any change to the accumulation order or alignment flips these bits and
+# silently shifts the oracle's extraction output).
+_MA_GOLDENS = [
+    (([10, 200, 30, 0, 255], 3),
+     [69.99999999999999, 79.99999999999999, 76.66666666666666, 95.0, 85.0]),
+    (([5], 3), [5.0]),
+    (([7, 7], 2), [3.5, 7.0]),
+    (([0, 0, 45, 0, 0, 45, 0], 3),
+     [0.0, 15.0, 15.0, 15.0, 15.0, 15.0, 15.0]),
+    ((list(range(0, 250, 10)), 21),
+     [26.19047619047619, 31.428571428571427, 37.14285714285714,
+      43.33333333333333, 49.99999999999999, 57.14285714285714,
+      64.76190476190476, 72.85714285714286, 81.42857142857143,
+      90.47619047619048, 100.0, 110.0, 120.0, 130.0, 140.0,
+      138.0952380952381, 135.71428571428572, 132.85714285714286,
+      129.52380952380952, 125.71428571428572, 121.42857142857142,
+      116.66666666666666, 111.42857142857142, 105.71428571428572,
+      99.52380952380952]),
+]
+
+
+def test_moving_average_golden_bits():
+    for (x, w), want in _MA_GOLDENS:
+        got = moving_average(np.array(x, dtype=np.int64), w)
+        assert got.tolist() == want, (x, w)
+
+
 @settings(max_examples=200, deadline=None)
-@given(st.lists(st.integers(0, 255), min_size=0, max_size=80), st.sampled_from([1, 2, 3, 5, 21]))
-def test_moving_average_batch_bitexact(q, w):
-    x = np.array(q, dtype=np.int64)
-    if len(x) == 0:
-        return
-    ref = moving_average(x, w)
-    got = moving_average_batch(
-        x.astype(np.float64)[None, :], min(w, len(x)), np.array([len(x)])
-    )[0]
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=80), st.sampled_from([1, 2, 3, 5, 21]))
+def test_moving_average_multirow_batch_matches_scalar(q, w):
+    """A row embedded in a wider zero-padded multi-row batch must produce
+    the same bits as the 1-row (scalar-path) call — no cross-row leakage
+    and no padded-tail contamination."""
+    x = np.array(q, dtype=np.float64)
+    n = len(x)
+    w_eff = min(w, n)
+    other = np.full(n + 13, 77.0)
+    width = n + 13
+    mat = np.zeros((3, width))
+    mat[0, :] = other[:width]
+    mat[1, :n] = x
+    mat[2, :] = other[:width]
+    lengths = np.array([width, n, width])
+    got = moving_average_batch(mat, w_eff, lengths)[1][:n]
+    ref = moving_average_batch(x[None, :], w_eff, np.array([n]))[0]
     assert np.array_equal(ref, got)
 
 

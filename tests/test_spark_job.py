@@ -148,3 +148,23 @@ def test_no_per_row_python_udf():
     for f in root.rglob("*.py"):
         src = f.read_text()
         assert "@F.udf" not in src and "@udf" not in src, f
+
+
+def test_oversize_payload_distributed(spark):
+    """F2 guard at the distributed surface: a 2MB payload and a
+    >MAX_TURN_CHARS payload pass through without job failure, and results
+    match the oracle byte-for-byte."""
+    big = "lorem ipsum words " * 120000            # ~2.1 MB
+    huge = "z" * (17 * 1024 * 1024)                # > 16 MiB cap -> truncated
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["big", "huge", "tiny"],
+            "turn_idx": [0, 0, 0],
+            "role": ["user"] * 3,
+            "text": [big, huge, "short but real content words here"],
+            "tool": [""] * 3,
+            "ts": [pd.Timestamp("2024-01-01")] * 3,
+        }
+    )
+    result = _spark_result(plan_extract(transcripts_from_pandas(spark, pdf), n_buckets=4))
+    _assert_parity(result, _oracle(pdf))
