@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_per_group": _q_topk_per_group,
         "q_events_hourly": _q_events_hourly,
         "q_sessionize": _q_sessionize,
+        "q_asof_join": _q_asof_join,
+        "q_range_join": _q_range_join,
         # --- non-SQL-expressible (rows-only checks; full parity in pytest) -
         "x_extract_documents": _x_extract_documents,
         "x_extract_transcripts": _x_extract_transcripts,
@@ -712,6 +714,82 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+# As-of join — an operator Spark lacks natively, built Spark-first as the
+# canonical union + last(ignorenulls) window (one shuffle on the key, no
+# range cross-product): for each purchase event, the most recent view
+# event of the same user at or before it.  The DuckDB oracle uses the
+# native ASOF JOIN; (user_id, ts) pairs are collision-free in the data so
+# both formulations are deterministic.
+def _q_asof_join(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("a_event_id"),
+        F.lit(None).cast("struct<ts:timestamp_ntz,eid:bigint>").alias("b_pack"),
+        F.lit(1).alias("is_probe"),
+    )
+    build = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("a_event_id"),
+        F.struct(
+            F.col("ts").alias("ts"), F.col("event_id").alias("eid")
+        ).alias("b_pack"),
+        F.lit(0).alias("is_probe"),
+    )
+    # build rows sort BEFORE probe rows at equal ts => b.ts <= a.ts
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = probe.unionByName(build).withColumn(
+        "m", F.last("b_pack", ignorenulls=True).over(w)
+    )
+    return (
+        u.filter((F.col("is_probe") == 1) & F.col("m").isNotNull())
+        .select(
+            "a_event_id",
+            F.col("m.eid").alias("b_event_id"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("m.ts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )
+
+
+# Range join — banded-bucket implementation (the Spark-first shape that
+# avoids the naive cross product Catalyst would otherwise plan for a pure
+# inequality join): views within the hour before each purchase.  Probe
+# rows fan out to their own and the previous 1h time bucket, the join is
+# a plain equi-join on (user, bucket), and the exact range predicate
+# filters after.  An interval of width W spans at most 2 W-buckets, so
+# coverage is exact.
+def _q_range_join(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    a = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("a_event_id"), us.alias("a_us"))
+        .withColumn("bkt", F.explode(F.array(
+            F.expr(f"a_us div {hour_us}"), F.expr(f"a_us div {hour_us} - 1")
+        )))
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("b_us"),
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {hour_us}").alias("bkt"),
+    )
+    return (
+        a.join(b, ["user_id", "bkt"])
+        .filter((F.col("b_us") <= F.col("a_us")) & (F.col("b_us") > F.col("a_us") - hour_us))
+        .groupBy("a_event_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_views_1h"))
+    )
+
+
 # Rows-only: scalar extraction UDF over HTML-wrapped documents.
 def _x_extract_documents(spark, sf_dir):
     from ocr_spark.functions.text import extract_text
@@ -1047,6 +1125,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    floor(sum(value) * 100.0)::BIGINT AS sum_value_fp
             FROM events GROUP BY 1, 2
+        """,
+        "q_asof_join": """
+            WITH a AS (
+              SELECT user_id, ts, event_id AS a_event_id
+              FROM events WHERE event_type = 'purchase'
+            ),
+            b AS (
+              SELECT user_id, ts, event_id AS b_event_id
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT a.a_event_id, b.b_event_id,
+                   (epoch_us(a.ts) - epoch_us(b.ts))::BIGINT AS gap_us
+            FROM a ASOF JOIN b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "q_range_join": """
+            SELECT a.event_id AS a_event_id, count(*)::BIGINT AS n_views_1h
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'purchase' AND b.event_type = 'view'
+             AND epoch_us(b.ts) <= epoch_us(a.ts)
+             AND epoch_us(b.ts) > epoch_us(a.ts) - 3600000000
+            GROUP BY 1
         """,
         "q_sessionize": """
             WITH g AS (
