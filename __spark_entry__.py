@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": _q_sessionize,
         "q_asof_join": _q_asof_join,
         "q_range_join": _q_range_join,
+        "q_events_rollup": _q_events_rollup,
+        "q_json_extract": _q_json_extract,
         # --- non-SQL-expressible (rows-only checks; full parity in pytest) -
         "x_extract_documents": _x_extract_documents,
         "x_extract_transcripts": _x_extract_transcripts,
@@ -714,6 +716,30 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+# Hypertable-style hierarchical time rollup: (day, type) -> (day) -> ()
+# in one pass (continuous-aggregate shape; NULL grouping keys mark the
+# coarser levels identically in both engines).
+def _q_events_rollup(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return ev.rollup(day, F.col("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.floor(F.sum("value") * F.lit(100.0)).cast("long").alias("sum_value_fp"),
+    )
+
+
+# Semi-structured payload inspection: JSON field extraction (the tool
+# payloads of the transcripts data model; SURVEY §2.9 from_json row).
+def _q_json_extract(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k > 50, 1)).cast("long").alias("n_k_gt50"),
+    )
+
+
 # As-of join — an operator Spark lacks natively, built Spark-first as the
 # canonical union + last(ignorenulls) window (one shuffle on the key, no
 # range cross-product): for each purchase event, the most recent view
@@ -1139,6 +1165,19 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(a.ts) - epoch_us(b.ts))::BIGINT AS gap_us
             FROM a ASOF JOIN b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "q_events_rollup": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   count(*)::BIGINT AS n_events,
+                   floor(sum(value) * 100.0)::BIGINT AS sum_value_fp
+            FROM events GROUP BY ROLLUP (day, event_type)
+        """,
+        "q_json_extract": """
+            SELECT event_type,
+                   sum((props->>'k')::BIGINT)::BIGINT AS sum_k,
+                   max((props->>'k')::BIGINT) AS max_k,
+                   count(CASE WHEN (props->>'k')::BIGINT > 50 THEN 1 END)::BIGINT AS n_k_gt50
+            FROM events GROUP BY event_type
         """,
         "q_range_join": """
             SELECT a.event_id AS a_event_id, count(*)::BIGINT AS n_views_1h
