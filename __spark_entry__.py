@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_topk": _q_embedding_topk,
         "q_embedding_ann_lsh": _q_embedding_ann_lsh,
         "q_embedding_neardup": _q_embedding_neardup,
+        "q_embedding_ann_ivf": _q_embedding_ann_ivf,
         # --- relational operator coverage (SURVEY §2.6/2.7/2.8) ------------
         "q_agg_orders": _q_agg_orders,
         "q_rollup_orders": _q_rollup_orders,
@@ -614,6 +615,65 @@ def _q_embedding_neardup(spark, sf_dir):
     return (
         joined.select("vec_a", "vec_b", sim_fp.alias("sim_fp"))
         .filter(F.col("sim_fp") >= 999000)
+    )
+
+
+# IVF ANN (the second approximate-search family beside sign-LSH): a fixed
+# deterministic coarse quantizer (centroids = the 16 lowest vec_ids, no
+# training loop), cells assigned by max fixed-point cosine with ties to
+# the lowest centroid id, then exact top-3 WITHIN the cell (nprobe=1).
+# The centroid table broadcasts; the intra-cell search is a cell
+# equi-join — at scale both sides partition by cell with no cross join.
+def _q_embedding_ann_ivf(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = ed.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def _sim(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.floor(dot / (na * nb) * F.lit(1000000.0)).cast("long")
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        ed.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", _sim("v", "cv").alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    q = assigned.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    n = assigned.select(F.col("vec_id").alias("neighbor_id"), "v", "cell")
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("sim_fp").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(n, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            F.col("cell").cast("long").alias("cell"),
+            "neighbor_id",
+            _sim("qv", "v").alias("sim_fp"),
+        )
+        .withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "cell", "neighbor_id", "sim_fp",
+                F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -1090,6 +1150,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE floor(list_dot_product(a.v, b.v) /
                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                         * 1000000.0) >= 999000
+        """,
+        "q_embedding_ann_ivf": """
+            WITH ed AS (
+              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+            ),
+            cents AS (
+              SELECT vec_id AS cid, v AS cv FROM ed WHERE vec_id < 16
+            ),
+            assigned AS (
+              SELECT vec_id, v, cid AS cell FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY floor(list_dot_product(e.v, c.cv) /
+                                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                                 * 1000000.0)::BIGINT DESC, c.cid ASC) AS rn
+                FROM ed e CROSS JOIN cents c
+              ) WHERE rn = 1
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, q.cell, n.vec_id AS neighbor_id,
+                     floor(list_dot_product(q.v, n.v) /
+                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+                           * 1000000.0)::BIGINT AS sim_fp
+              FROM assigned q JOIN assigned n
+                ON q.cell = n.cell AND q.vec_id != n.vec_id
+            )
+            SELECT query_id, cell::BIGINT AS cell, neighbor_id, sim_fp, rnk::BIGINT AS rnk
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim_fp DESC, neighbor_id ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
         """,
         "q_embedding_topk": """
             WITH ed AS (
