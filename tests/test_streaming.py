@@ -19,7 +19,7 @@ def _write_batch(spark, pdf, path):
 
 def _drain(spark, inp, outp, ckpt):
     q = run_extract_stream(spark, inp, outp, ckpt, available_now=True)
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert not q.isActive
 
 
@@ -95,7 +95,7 @@ def test_stream_watermark_windowed_counts(spark, dirs):
 
     def drain():
         q = run_turn_rate_stream(spark, inp, outp, ckpt, available_now=True)
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         assert not q.isActive
 
     # hour-0 and hour-1 data, then an hour-3 batch that advances the
@@ -127,7 +127,7 @@ def test_stream_stateful_conversation_assembly(spark, dirs):
         q = run_conversation_assembly_stream(
             spark, inp, outp, ckpt, available_now=True
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         assert not q.isActive
 
     import datetime as dt
