@@ -113,6 +113,16 @@ INDENT_TOL = 2
 # into partitions balances; also the resume unit — finer = cheaper re-runs.
 DEFAULT_N_BUCKETS = 256
 # A bucket is "hot" if its row count > HOT_FACTOR * mean bucket count.
+# (Diagnostic-only since round 2: the hot path uses static slice salting
+# below, which needs no pre-scan of the input.)
 HOT_FACTOR = 4.0
-# Salt fan-out for hot buckets.
+# Salt fan-out for hot buckets (legacy detect-based salting only).
 K_SALT = 8
+# Static skew split: salt = turn_idx div SALT_SLICE_TURNS.  A conversation
+# shorter than this (the overwhelming majority) gets the single salt 0 and
+# stays whole within its bucket; a mega-conversation is split into slices
+# of at most SALT_SLICE_TURNS turns that hash to different partitions.
+# Deterministic, zero pre-scan — the input is read exactly once.  Safe
+# because the hot path is a pure per-turn map (SURVEY.md §4.3); per-
+# conversation order is restorable from turn_idx at read time.
+SALT_SLICE_TURNS = 8192

@@ -1,7 +1,7 @@
 """The distributed extraction plan (SURVEY.md §3.4):
 
   read -> bucket = pmod(xxhash64(conv_id), B) -> resume anti-join ->
-  hot-bucket salting -> repartition(bucket, salt)  [the ONE wide op] ->
+  slice salting -> repartition(bucket, salt)  [the ONE wide op] ->
   mapInPandas(extract_turns) -> sortWithinPartitions(conv_id, turn_idx)
   -> write parquet partitioned by bucket (dynamic overwrite = idempotent
   per-bucket re-runs) + lineage rows.
@@ -9,9 +9,13 @@
 Scale design (10^12-turn framing, BASELINE.json north_rule):
   - bucketing by hashed conv_id keeps conversations together for
     ordering while bounding lineage/resume granularity to B units;
-  - salting splits hot conversations across K_SALT partitions — safe
-    because the hot path is a pure per-turn map (no per-conversation
-    aggregation), SURVEY.md §4.3;
+  - skew is handled by STATIC slice salting (salt = turn_idx div
+    SALT_SLICE_TURNS): conversations shorter than the slice stay whole,
+    mega-conversations split into bounded slices.  No pre-scan of the
+    input — the job reads it exactly once.  Safe because the hot path is
+    a pure per-turn map (no per-conversation aggregation), SURVEY.md
+    §4.3.  The legacy detect-and-salt path (detect_hot_buckets +
+    with_salt) remains for diagnostics, with optional sampling;
   - everything before/after the single repartition is narrow; AQE
     handles post-shuffle coalescing.
 """
@@ -21,7 +25,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ocr_spark.constants import DEFAULT_N_BUCKETS, HOT_FACTOR, K_SALT
+from ocr_spark.constants import (
+    DEFAULT_N_BUCKETS,
+    HOT_FACTOR,
+    K_SALT,
+    SALT_SLICE_TURNS,
+)
 from ocr_spark.operators.extract_op import extract_turns
 from ocr_spark.plans.lineage import completed_buckets, lineage_from_output
 
@@ -42,12 +51,21 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
     )
 
 
-def detect_hot_buckets(df: DataFrame) -> list[int]:
-    """Pre-pass skew diagnosis: buckets with > HOT_FACTOR * mean rows.
+def detect_hot_buckets(
+    df: DataFrame, sample_fraction: float | None = None
+) -> list[int]:
+    """DIAGNOSTIC-ONLY skew probe: buckets with > HOT_FACTOR * mean rows.
 
-    Collects at most n_buckets tiny rows to the driver — a bounded
-    metadata collect, not a data collect.
+    Not on the job's hot path (plan_extract/run_extract use zero-prescan
+    slice salting) because even though it collects at most n_buckets tiny
+    rows, it costs one extra scan + shuffle of the input before the real
+    job starts — at 100 TB that doubles input I/O.  For ad-hoc skew
+    triage on large inputs pass `sample_fraction` (e.g. 0.001): relative
+    bucket weights survive sampling, so the HOT_FACTOR ratio test is
+    unchanged while the shuffled volume shrinks 1000x.
     """
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=7)
     counts = df.groupBy("bucket").count().collect()
     if not counts:
         return []
@@ -56,7 +74,9 @@ def detect_hot_buckets(df: DataFrame) -> list[int]:
 
 
 def with_salt(df: DataFrame, hot: list[int], k_salt: int = K_SALT) -> DataFrame:
-    """Salt only hot buckets: salt = pmod(xxhash64(conv_id, turn_idx), K).
+    """Legacy detect-based salting (diagnostic companion to
+    detect_hot_buckets): salt = pmod(xxhash64(conv_id, turn_idx), K) for
+    hot buckets only.  The hot path uses with_slice_salt instead.
 
     Cold buckets get salt 0 so their conversations stay whole; hot
     buckets trade within-partition conversation completeness for balance
@@ -73,6 +93,26 @@ def with_salt(df: DataFrame, hot: list[int], k_salt: int = K_SALT) -> DataFrame:
     )
 
 
+def with_slice_salt(
+    df: DataFrame, slice_turns: int = SALT_SLICE_TURNS
+) -> DataFrame:
+    """Static skew split with ZERO pre-scan: salt = turn_idx div
+    slice_turns.
+
+    Conversations with < slice_turns turns (the overwhelming majority at
+    any scale) get the constant salt 0 and stay whole within their
+    bucket; a mega-conversation is split into slices of at most
+    slice_turns turns, each hashing to its own partition under the
+    (bucket, salt) repartition.  Deterministic and input-size-oblivious,
+    so the flagship job scans its input exactly once — no
+    groupBy().count() pre-pass (the round-1 approach doubled input I/O
+    at scale).
+    """
+    return df.withColumn(
+        "salt", F.expr(f"cast(turn_idx div {int(slice_turns)} as int)")
+    )
+
+
 def stable_order(df: DataFrame) -> DataFrame:
     """O6/north_rule: restore stable (conv_id, turn_idx) ordering via a
     window row_number — the reading-order restoration (G11 analogue).
@@ -86,12 +126,17 @@ def plan_extract(
     n_buckets: int = DEFAULT_N_BUCKETS,
     salt_hot: bool = True,
     num_partitions: int | None = None,
+    slice_turns: int = SALT_SLICE_TURNS,
 ) -> DataFrame:
-    """Build the extraction DataFrame (no I/O): bucket -> salt ->
-    repartition -> mapInPandas -> per-partition sort."""
+    """Build the extraction DataFrame (no I/O, no planning-time jobs):
+    bucket -> slice salt -> repartition -> mapInPandas -> per-partition
+    sort.  The input is scanned exactly once when the plan executes."""
     b = with_bucket(df, n_buckets)
-    hot = detect_hot_buckets(b) if salt_hot else []
-    s = with_salt(b, hot)
+    s = (
+        with_slice_salt(b, slice_turns)
+        if salt_hot
+        else b.withColumn("salt", F.lit(0))
+    )
     shuffled = s.repartition(
         num_partitions or _udf_stage_partitions(df), F.col("bucket"), F.col("salt")
     )
@@ -115,6 +160,7 @@ def run_extract(
     salt_hot: bool = True,
     resume: bool = False,
     num_partitions: int | None = None,
+    slice_turns: int = SALT_SLICE_TURNS,
 ) -> dict:
     """Execute the full job with resume + lineage.  Returns counters."""
     df = with_bucket(df, n_buckets)
@@ -126,8 +172,11 @@ def run_extract(
             # resume anti-join (K3): pending = input \ completed buckets
             df = df.join(F.broadcast(done), "bucket", "left_anti")
 
-    hot = detect_hot_buckets(df) if salt_hot else []
-    s = with_salt(df, hot)
+    s = (
+        with_slice_salt(df, slice_turns)
+        if salt_hot
+        else df.withColumn("salt", F.lit(0))
+    )
     shuffled = s.repartition(
         num_partitions or _udf_stage_partitions(df), F.col("bucket"), F.col("salt")
     ).sortWithinPartitions("conv_id", "turn_idx")
@@ -155,6 +204,6 @@ def run_extract(
 
     stats = {
         "buckets_skipped": skipped,
-        "hot_buckets": len(hot),
+        "slice_turns": slice_turns if salt_hot else None,
     }
     return stats

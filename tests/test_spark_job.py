@@ -21,6 +21,7 @@ from ocr_spark.plans.extract_job import (
     stable_order,
     with_bucket,
     with_salt,
+    with_slice_salt,
 )
 from ocr_spark.sources.transcripts import transcripts_from_pandas
 
@@ -69,15 +70,56 @@ def test_parity_partitioning_invariant(spark, fixture_pdf):
 
 
 def test_parity_with_forced_salting(spark):
+    """Slice salting fans a hot conversation out across salts with zero
+    pre-scan, and parity holds with the fan-out forced on."""
+    pdf = gen_transcripts(n_convs=6, seed=3, hot_conv_turns=2000)
+    sdf = with_bucket(transcripts_from_pandas(spark, pdf), 8)
+    salted = with_slice_salt(sdf, slice_turns=256)
+    n_salts = salted.select("salt").distinct().count()
+    assert n_salts > 1, "hot conversation must actually fan out"
+    # short conversations keep salt 0 (stay whole in their bucket)
+    short = salted.filter(F.col("turn_idx") < 256).select("salt").distinct()
+    assert [r["salt"] for r in short.collect()] == [0]
+    result = _spark_result(
+        plan_extract(
+            transcripts_from_pandas(spark, pdf), n_buckets=8, slice_turns=256
+        )
+    )
+    _assert_parity(result, _oracle(pdf))
+
+
+def test_detect_hot_buckets_diagnostic(spark):
+    """The legacy detect+salt probe (off the hot path) still works, with
+    and without sampling."""
     pdf = gen_transcripts(n_convs=6, seed=3, hot_conv_turns=2000)
     sdf = with_bucket(transcripts_from_pandas(spark, pdf), 8)
     hot = detect_hot_buckets(sdf)
     assert hot, "fixture must produce a hot bucket"
+    # 50% sample keeps the relative bucket weights -> same hot set
+    hot_sampled = detect_hot_buckets(sdf, sample_fraction=0.5)
+    assert set(hot_sampled) == set(hot)
     salted = with_salt(sdf, hot)
-    n_salts = salted.select("salt").distinct().count()
-    assert n_salts > 1, "hot bucket must actually fan out"
-    result = _spark_result(plan_extract(transcripts_from_pandas(spark, pdf), n_buckets=8))
-    _assert_parity(result, _oracle(pdf))
+    assert salted.select("salt").distinct().count() > 1
+
+
+def test_plan_extract_no_prescan(spark, fixture_pdf, tmp_path):
+    """The flagship plan scans its input ONCE and planning triggers no
+    jobs (the round-1 hot-bucket pre-pass cost a full extra scan)."""
+    p = str(tmp_path / "transcripts")
+    transcripts_from_pandas(spark, fixture_pdf).write.parquet(p)
+    inp = spark.read.parquet(p)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-probe", "planning must not run jobs")
+    try:
+        out = plan_extract(inp, n_buckets=8)
+        # building the plan (incl. analysis) must not submit any job
+        assert sc.statusTracker().getJobIdsForGroup("plan-probe") == []
+    finally:
+        sc.setJobGroup(None, None)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_stable_order_window(spark, fixture_pdf):
