@@ -15,6 +15,7 @@ are deterministic given identical operation order).
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -44,6 +45,39 @@ _LANG_MARKERS = {
 _M31 = 2_147_483_647
 _MINHASH_A = [2, 3, 5, 7, 11, 13, 17, 19]
 _MINHASH_B = [1, 2, 3, 4, 5, 6, 7, 8]
+
+# --- corpus-size-driven bucket parameters (scale rules) --------------------
+# Sign-LSH: bucket count must grow with the corpus or intra-bucket exact
+# search turns quadratic (N^2 / 2^bits).  Rule: 2^bits ~= N / TARGET, i.e.
+# bits = ceil(log2(N / TARGET)), floored at 6 (sandbox floor) and capped at
+# 62 (int64 bucket key).  Both engines derive bits from count(*) of the
+# same table, so plans stay deterministic and identical.
+_LSH_TARGET_BUCKET = 64
+
+
+def _lsh_bits(n_rows: int) -> int:
+    return max(6, min(62, math.ceil(math.log2(max(n_rows, 1) / float(_LSH_TARGET_BUCKET)))))
+
+
+# DuckDB twin of _lsh_bits, as a scalar CTE (identical formula; log2/ceil
+# on IEEE doubles agree across engines for these inputs).
+_SQL_LSH_BITS = (
+    "SELECT greatest(6, least(62, cast(ceil(log2(count(*) / 64.0)) AS INT))) AS nb"
+    " FROM embeddings"
+)
+
+
+def _ivf_cells(n_rows: int) -> int:
+    """IVF coarse-quantizer size: the standard sqrt(N) rule (cells ~ √N
+    balances cell-assignment cost N*C against intra-cell search N^2/C;
+    see e.g. the FAISS IVF guidelines).  Floor 16 keeps the sandbox
+    behavior; isqrt == floor(sqrt) for all non-boundary N."""
+    return max(16, math.isqrt(max(n_rows, 0)))
+
+
+_SQL_IVF_CELLS = (
+    "SELECT greatest(16, cast(floor(sqrt(count(*))) AS BIGINT)) AS nc FROM embeddings"
+)
 
 
 def _docs_with_planted_dups(spark, sf_dir: str) -> DataFrame:
@@ -101,6 +135,45 @@ _SQL_SHINGLE_FPS = _SQL_ALLD + """,
   fps AS (
     SELECT doc_id,
            ('0x' || substr(md5(sh_str), 1, 15))::BIGINT % 2147483647 AS fp
+    FROM sh
+  )
+"""
+
+
+def _shingle_fps64(alld: DataFrame) -> DataFrame:
+    """(doc_id, fp): full 60-bit md5-prefix fingerprint of each distinct
+    word-3-gram shingle (NO mod-M31 reduction — the SimHash family needs
+    wide features; MinHash keeps the M31-reduced variant for affine-hash
+    headroom)."""
+    words = alld.select("doc_id", F.split("text", " ").alias("w"))
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)),"
+        " i -> concat_ws(' ', element_at(w, i),"
+        " element_at(w, i+1), element_at(w, i+2))))"
+    )
+    return (
+        words.select("doc_id", F.explode(shingles).alias("sh_str"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("sh_str"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+
+
+_SQL_SHINGLE_FPS64 = _SQL_ALLD + """,
+  sh AS (
+    SELECT doc_id,
+           unnest(list_distinct([
+             array_to_string([w[i], w[i+1], w[i+2]], ' ')
+             for i in range(1, greatest(len(w) - 2, 0) + 1)
+           ])) AS sh_str
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM alld)
+  ),
+  fps AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(sh_str), 1, 15))::BIGINT AS fp
     FROM sh
   )
 """
@@ -300,6 +373,10 @@ def _q_dedup_exact(spark, sf_dir):
 # n-gram Jaccard near-dup: word 3-gram shingles; planted duplicates
 # (docs with doc_id < 25 re-emitted under doc_id + 1000000 with the first
 # 3 words dropped) guarantee non-trivial pairs at every sf.
+#
+# ORACLE-BASELINE-ONLY: this is the exact all-pairs formulation, kept to
+# validate q_minhash_lsh (the scale path).  Its shingle self-join is
+# quadratic in colliding docs — never run it at production scale.
 def _q_ngram_jaccard(spark, sf_dir):
     alld = _docs_with_planted_dups(spark, sf_dir)
     # materialize the word array ONCE per row; inlining split() into the
@@ -424,23 +501,33 @@ def _q_minhash_lsh(spark, sf_dir):
     )
 
 
+# SimHash width: 60 feature bits (the full md5-prefix fingerprint) in a
+# 64-bit container.  Round 1 used 32 bits with 8-bit bands -> only 4x256
+# distinct band keys, so at 10^9 docs every band bucket held ~N/256 docs
+# and the band join went quadratic.  With 4x15-bit bands the key space
+# per band is 2^15 ~ 32k, and band-key cardinality tracks corpus
+# diversity instead of saturating.
+_SIMHASH_BITS = 60
+_SIMHASH_BAND_WIDTH = 15  # 4 bands x 15 bits = 60
+
+
 def _simhash_df(spark, sf_dir):
-    """(doc_id, simhash): 32-bit SimHash over shingle fingerprints —
-    bit i is set iff more shingles have bit i set than clear.  Shingle
-    features (not words) keep the fingerprints diverse under the small
-    fixture vocabulary."""
-    s = _shingle_fps(_docs_with_planted_dups(spark, sf_dir))
-    # all 32 bit-sums in ONE aggregation (no x32 explode): the per-bit
-    # sign sums arrive as 32 columns, then fold into the fingerprint
+    """(doc_id, simhash): 60-bit SimHash over full-width shingle
+    fingerprints — bit i is set iff more shingles have bit i set than
+    clear.  Shingle features (not words) keep the fingerprints diverse
+    under the small fixture vocabulary."""
+    s = _shingle_fps64(_docs_with_planted_dups(spark, sf_dir))
+    # all 60 bit-sums in ONE aggregation (no x60 explode): the per-bit
+    # sign sums arrive as 60 columns, then fold into the fingerprint
     sgn = s.groupBy("doc_id").agg(
         *[
             F.sum(F.expr(f"(shiftright(fp, {b}) & 1) * 2 - 1")).alias(f"s{b}")
-            for b in range(32)
+            for b in range(_SIMHASH_BITS)
         ]
     )
     simhash = sum(
         F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        for b in range(32)
+        for b in range(_SIMHASH_BITS)
     )
     return sgn.select("doc_id", simhash.cast("long").alias("simhash"))
 
@@ -449,24 +536,32 @@ def _q_simhash(spark, sf_dir):
     return _simhash_df(spark, sf_dir)
 
 
-# SimHash near-dup: hamming(simhash_a, simhash_b) <= 3.  Banding the 32
-# bits into 4 bytes makes this EXACT at scale: 3 differing bits cannot
-# touch all 4 bands (pigeonhole), so every qualifying pair shares at
-# least one exact band and is found by the band equi-join.
+# SimHash near-dup: hamming(simhash_a, simhash_b) <= 3.  Banding the 60
+# bits into 4x15-bit bands makes this EXACT at scale: 3 differing bits
+# cannot touch all 4 bands (pigeonhole), so every qualifying pair shares
+# at least one exact band and is found by the band equi-join.  15-bit
+# band keys (vs round 1's 8-bit bytes) keep band buckets small as the
+# corpus grows — the band-join stays ~linear instead of quadratic.
 def _q_simhash_neardup(spark, sf_dir):
     sim = _simhash_df(spark, sf_dir)
     banded = sim.select(
         "doc_id",
         "simhash",
         F.explode(F.expr("sequence(0, 3)")).alias("j"),
-    ).withColumn("byte", F.expr("(shiftright(simhash, 8 * j)) & 255"))
+    ).withColumn(
+        "band_key",
+        F.expr(
+            f"(shiftright(simhash, {_SIMHASH_BAND_WIDTH} * j))"
+            f" & {(1 << _SIMHASH_BAND_WIDTH) - 1}"
+        ),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -498,19 +593,26 @@ def _q_doc_fingerprint(spark, sf_dir):
 
 
 # Sign-LSH ANN (the scale path for q_embedding_topk): bucket on the sign
-# pattern of the first 6 dimensions (random-hyperplane LSH with axis
+# pattern of the first `bits` dimensions (random-hyperplane LSH with axis
 # hyperplanes), then exact top-3 cosine WITHIN the bucket.  Replaces the
 # all-pairs cross join with a bucket equi-join; recall is approximate,
-# but both engines run the identical deterministic plan.
+# but both engines run the identical deterministic plan.  `bits` is
+# derived from corpus size via _lsh_bits (bits ~ log2(N/target)), so
+# intra-bucket exact search stays ~target^2 per bucket instead of going
+# quadratic in N; at production scale N comes from table statistics
+# (Iceberg snapshot row count) rather than a count() job.  Beyond
+# dim-many axis planes, real deployments switch to seeded random
+# hyperplanes (dot-product signs) — same plan shape, same join.
 def _q_embedding_ann_lsh(spark, sf_dir):
     e = _tbl(spark, sf_dir, "embeddings")
+    n_bits = _lsh_bits(e.count())
     ed = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     bkt = sum(
         F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(6)
+        for i in range(n_bits)
     )
     ed = ed.withColumn("bkt", bkt.cast("int"))
     q = ed.select(
@@ -550,6 +652,10 @@ def _q_embedding_ann_lsh(spark, sf_dir):
 # query set = vec_id < 20; k = 5; all math in float64 with a sequential
 # fold so both engines produce bit-identical sums; similarity is
 # fixed-pointed for ranking and output.
+#
+# ORACLE-BASELINE-ONLY: the crossJoin is the exact ground truth used to
+# validate q_embedding_ann_lsh / q_embedding_ann_ivf (the scale paths).
+# Never run it at production scale.
 def _q_embedding_topk(spark, sf_dir):
     e = _tbl(spark, sf_dir, "embeddings")
     ed = e.select(
@@ -580,13 +686,15 @@ def _q_embedding_topk(spark, sf_dir):
     )
 
 
-# Embedding-cosine near-dup: pairs with cosine >= 0.999, found through the
-# same 6-bit sign-LSH buckets as the ANN query (a scaled copy keeps every
-# sign, so true near-dups always share a bucket — exact for the planted
-# family, linear cost).  Planted dups: vec_id < 10 re-emitted as
-# vec_id + 1000000 scaled by 2 (cosine exactly 1 with the original).
+# Embedding-cosine near-dup: pairs with cosine >= 0.999, found through
+# corpus-size-driven sign-LSH buckets (same _lsh_bits rule as the ANN
+# query; a scaled copy keeps every sign, so true near-dups always share a
+# bucket — exact for the planted family at ANY bit width, linear cost).
+# Planted dups: vec_id < 10 re-emitted as vec_id + 1000000 scaled by 2
+# (cosine exactly 1 with the original).
 def _q_embedding_neardup(spark, sf_dir):
     e = _tbl(spark, sf_dir, "embeddings")
+    n_bits = _lsh_bits(e.count())
     ed = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -598,7 +706,7 @@ def _q_embedding_neardup(spark, sf_dir):
     alle = ed.unionByName(planted)
     bkt = sum(
         F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(6)
+        for i in range(n_bits)
     )
     alle = alle.withColumn("bkt", bkt.cast("int"))
     a = alle.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bkt")
@@ -618,19 +726,24 @@ def _q_embedding_neardup(spark, sf_dir):
     )
 
 
-# IVF ANN (the second approximate-search family beside sign-LSH): a fixed
-# deterministic coarse quantizer (centroids = the 16 lowest vec_ids, no
-# training loop), cells assigned by max fixed-point cosine with ties to
-# the lowest centroid id, then exact top-3 WITHIN the cell (nprobe=1).
+# IVF ANN (the second approximate-search family beside sign-LSH): a
+# deterministic coarse quantizer (centroids = the `cells` lowest vec_ids,
+# no training loop), cells assigned by max fixed-point cosine with ties
+# to the lowest centroid id, then exact top-3 WITHIN the cell (nprobe=1).
 # The centroid table broadcasts; the intra-cell search is a cell
 # equi-join — at scale both sides partition by cell with no cross join.
+# `cells` follows the standard ~sqrt(N) IVF rule (_ivf_cells), so
+# intra-cell exact search stays ~N^1.5 total instead of N^2/const; at
+# production scale N comes from table statistics, and the centroid set
+# comes from a sampled k-means rather than lowest-ids.
 def _q_embedding_ann_ivf(spark, sf_dir):
     e = _tbl(spark, sf_dir, "embeddings")
+    n_cells = _ivf_cells(e.count())
     ed = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    cents = ed.filter(F.col("vec_id") < 16).select(
+    cents = ed.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
 
@@ -1048,9 +1161,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE floor(shared * 1000000.0 / (na.n_sh + nb.n_sh - shared)) >= 500000
         """,
         "q_simhash": f"""
-            WITH {_SQL_SHINGLE_FPS},
+            WITH {_SQL_SHINGLE_FPS64},
             bits AS (
-              SELECT doc_id, fp, unnest(range(32)) AS b FROM fps
+              SELECT doc_id, fp, unnest(range({_SIMHASH_BITS})) AS b FROM fps
             ),
             sgn AS (
               SELECT doc_id, b, sum(((fp >> b) & 1) * 2 - 1) AS s
@@ -1061,9 +1174,9 @@ def oracle_sql() -> dict[str, str]:
             FROM sgn GROUP BY doc_id
         """,
         "q_simhash_neardup": f"""
-            WITH {_SQL_SHINGLE_FPS},
+            WITH {_SQL_SHINGLE_FPS64},
             bits AS (
-              SELECT doc_id, fp, unnest(range(32)) AS b FROM fps
+              SELECT doc_id, fp, unnest(range({_SIMHASH_BITS})) AS b FROM fps
             ),
             sgn AS (
               SELECT doc_id, b, sum(((fp >> b) & 1) * 2 - 1) AS s
@@ -1075,14 +1188,16 @@ def oracle_sql() -> dict[str, str]:
               FROM sgn GROUP BY doc_id
             ),
             banded AS (
-              SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS byte
+              SELECT doc_id, simhash, j,
+                     (simhash >> ({_SIMHASH_BAND_WIDTH} * j))
+                       & {(1 << _SIMHASH_BAND_WIDTH) - 1} AS band_key
               FROM (SELECT doc_id, simhash, unnest([0,1,2,3]) AS j FROM sim)
             ),
             pairs AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.simhash AS sim_a, b.simhash AS sim_b
               FROM banded a JOIN banded b
-                ON a.j = b.j AND a.byte = b.byte AND a.doc_id < b.doc_id
+                ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id
             )
             SELECT doc_a, doc_b,
                    bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
@@ -1097,16 +1212,14 @@ def oracle_sql() -> dict[str, str]:
               FROM fps
             ) WHERE rnk <= 4
         """,
-        "q_embedding_ann_lsh": """
-            WITH ed AS (
+        "q_embedding_ann_lsh": f"""
+            WITH p AS ({_SQL_LSH_BITS}),
+            ed AS (
               SELECT vec_id, [x::DOUBLE for x in embedding] AS v,
-                     (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-                    + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-                    + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-                    + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
-                    + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
-                    + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
-              FROM embeddings
+                     list_sum([CASE WHEN embedding[i+1] > 0
+                                    THEN 1::BIGINT << i ELSE 0 END
+                               for i in range(p.nb)])::BIGINT AS bkt
+              FROM embeddings, p
             ),
             scored AS (
               SELECT q.vec_id AS query_id, q.bkt, e.vec_id AS neighbor_id,
@@ -1122,8 +1235,9 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rnk <= 3
         """,
-        "q_embedding_neardup": """
-            WITH base AS (
+        "q_embedding_neardup": f"""
+            WITH p AS ({_SQL_LSH_BITS}),
+            base AS (
               SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
             ),
             alle AS (
@@ -1134,13 +1248,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             eb AS (
               SELECT vec_id, v,
-                     (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
-                    + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
-                    + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
-                    + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END
-                    + CASE WHEN v[5] > 0 THEN 16 ELSE 0 END
-                    + CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bkt
-              FROM alle
+                     list_sum([CASE WHEN v[i+1] > 0
+                                    THEN 1::BIGINT << i ELSE 0 END
+                               for i in range(p.nb)])::BIGINT AS bkt
+              FROM alle, p
             )
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    floor(list_dot_product(a.v, b.v) /
@@ -1151,12 +1262,13 @@ def oracle_sql() -> dict[str, str]:
                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                         * 1000000.0) >= 999000
         """,
-        "q_embedding_ann_ivf": """
+        "q_embedding_ann_ivf": f"""
             WITH ed AS (
               SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
             ),
             cents AS (
-              SELECT vec_id AS cid, v AS cv FROM ed WHERE vec_id < 16
+              SELECT vec_id AS cid, v AS cv FROM ed
+              WHERE vec_id < ({_SQL_IVF_CELLS})
             ),
             assigned AS (
               SELECT vec_id, v, cid AS cell FROM (
