@@ -989,7 +989,9 @@ def _q_range_join(spark, sf_dir):
     )
 
 
-# Rows-only: scalar extraction UDF over HTML-wrapped documents.
+# Extraction UDF over HTML-wrapped documents.  Oracle: precomputed
+# expected parquet from the single-process kernel (tools/gen_expected.py)
+# — the driver's rows+schema+hash gates apply in full.
 def _x_extract_documents(spark, sf_dir):
     from ocr_spark.functions.text import extract_text
 
@@ -1002,21 +1004,30 @@ def _x_extract_documents(spark, sf_dir):
     return d.select("doc_id", extract_text(html).alias("extracted_text"))
 
 
-# Rows-only: the full distributed pipeline over derived transcripts.
+# The full distributed pipeline over derived transcripts.  Oracle:
+# precomputed expected parquet from the single-process kernel
+# (tools/gen_expected.py); ints are surfaced as long on both sides so the
+# driver's schema gate compares identically-typed columns.
 def _x_extract_transcripts(spark, sf_dir):
     from ocr_spark.plans.extract_job import plan_extract
     from ocr_spark.sources.transcripts import derive_transcripts_from_documents
 
     tr = derive_transcripts_from_documents(spark, sf_dir)
     return plan_extract(tr, n_buckets=16).select(
-        "conv_id", "turn_idx", "extracted_text", "n_blocks_in",
-        "n_blocks_kept", "status",
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "extracted_text",
+        F.col("n_blocks_in").cast("long").alias("n_blocks_in"),
+        F.col("n_blocks_kept").cast("long").alias("n_blocks_kept"),
+        "status",
     )
 
 
-# Rows-only: multimodal binary-column plumbing (payload = utf-8 bytes as
-# media stand-in; decode step stubbed, Spark plumbing real — see
-# ocr_spark/functions/multimodal.py).
+# Multimodal binary-column plumbing (payload = utf-8 bytes as media
+# stand-in; codec decode stubbed behind deterministic fake features, the
+# real-decode seam lives in q_image_decode / decode_media_real — see
+# ocr_spark/functions/multimodal.py).  Oracle: precomputed expected
+# parquet from the same pure _decode_batch kernel.
 def _x_multimodal_features(spark, sf_dir):
     from ocr_spark.functions.multimodal import (
         decode_media_features,
@@ -1024,15 +1035,47 @@ def _x_multimodal_features(spark, sf_dir):
     )
 
     d = _docs_wide(spark, sf_dir).select("doc_id", "text")
-    return decode_media_features(with_binary_payload(d))
+    feats = decode_media_features(with_binary_payload(d))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "magic",
+        F.col("fake_width").cast("long").alias("fake_width"),
+        F.col("fake_height").cast("long").alias("fake_height"),
+        F.col("fake_duration_ms").cast("long").alias("fake_duration_ms"),
+        "checksum",
+    )
 
 
 # ---------------------------------------------------------------------------
 # oracles (DuckDB dialect)
 # ---------------------------------------------------------------------------
 
+# The extraction/multimodal queries are not SQL-expressible, but their
+# outputs are pure deterministic functions of the input, so the oracle is
+# a PRECOMPUTED expected table produced by the single-process kernel
+# (tools/gen_expected.py).  DuckDB reads the committed parquet;
+# rows+schema+hash compare as for every other query.  The driver's
+# CORRECTNESS gate runs at sf0.01 (the default here); local harnesses
+# comparing at another sf set SPARK_GRAFT_ORACLE_SF (tools/
+# compare_oracle.py does).  tests/test_expected.py regenerates the files
+# on every run so they cannot go stale.
+def _expected_sql(name: str) -> str:
+    sf_name = os.path.basename(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01").rstrip("/")
+    )
+    d = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "expected", sf_name
+    )
+    return f"SELECT * FROM read_parquet('{d}/{name}.parquet')"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "x_extract_documents": _expected_sql("x_extract_documents"),
+        "x_extract_transcripts": _expected_sql("x_extract_transcripts"),
+        "x_multimodal_features": _expected_sql("x_multimodal_features"),
         "q_canonicalize": """
             SELECT doc_id,
                    trim(regexp_replace('  ' || text || ' \t mid  part' || chr(10) || chr(10) || 'end  ',

@@ -37,38 +37,13 @@ DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 
 def _derive_payloads_pandas(turns_per_doc: int):
-    """Pandas twin of sources.transcripts.derive_transcripts_from_documents
-    (same four payload flavors) — used ONLY to measure the no-Spark
-    hardware throughput ceiling for the scaling comparison."""
-    import pandas as pd
-    import pyarrow.parquet as pq
+    """No-Spark derivation of the benchmark corpus — used ONLY to measure
+    the hardware throughput ceiling for the scaling comparison.  Shares
+    the byte-exact pandas twin of the Spark derivation (also the expected-
+    output generator's source, tools/gen_expected.py)."""
+    from ocr_spark.sources.transcripts import derive_transcripts_pandas
 
-    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
-    frames = []
-    for t in range(turns_per_doc):
-        flavor = (docs.doc_id + t) % 4
-        txt = docs.text
-        payload = pd.Series(index=docs.index, dtype=object)
-        payload[flavor == 0] = (
-            '<nav><a href="/home">Home</a> <a href="/about">About</a> '
-            '<a href="/pricing">Pricing</a> <a href="/blog">Blog</a></nav>'
-            "<p>" + txt + "</p>"
-            '<footer>Copyright 2024 <a href="/tos">Terms</a> '
-            '<a href="/privacy">Privacy</a></footer>'
-        )[flavor == 0]
-        payload[flavor == 1] = (
-            "                    SECTION " + docs.doc_id.astype(str)
-            + "\n\n    " + txt.str.replace(". ", ".\n    ", regex=False)
-            + "\n\n                              Page 1"
-        )[flavor == 1]
-        payload[flavor == 2] = txt.str.replace(". ", ".\n\n", regex=False)[flavor == 2]
-        payload[flavor == 3] = ('{"status": "ok", "result": "' + txt + '"}')[flavor == 3]
-        frames.append(pd.DataFrame({
-            "conv_id": "conv-" + docs.doc_id.astype(str),
-            "turn_idx": t,
-            "text": payload,
-        }))
-    return pd.concat(frames, ignore_index=True)
+    return derive_transcripts_pandas(SF_DIR, turns_per_doc=turns_per_doc)
 
 
 def _hw_worker(chunk):

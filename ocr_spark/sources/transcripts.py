@@ -40,6 +40,57 @@ def transcripts_from_pandas(spark: SparkSession, pdf) -> DataFrame:
     return spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA)
 
 
+def derive_transcripts_pandas(sf_dir: str, turns_per_doc: int = 4):
+    """Single-process pandas twin of derive_transcripts_from_documents:
+    byte-identical (conv_id, turn_idx, text) rows, no Spark.  Used by the
+    expected-output generator (tools/gen_expected.py) that backs the
+    driver-contract oracles for the x_* queries, and by bench.py's
+    no-Spark hardware-ceiling measurement.  Keep the payload templates in
+    lockstep with the Spark derivation above (tests/test_fixtures.py pins
+    the equivalence)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    frames = []
+    for t in range(turns_per_doc):
+        flavor = (docs.doc_id + t) % 4
+        txt = docs.text
+        payload = pd.Series(index=docs.index, dtype=object)
+        payload[flavor == 0] = (
+            '<nav><a href="/home">Home</a> <a href="/about">About</a> '
+            '<a href="/pricing">Pricing</a> <a href="/blog">Blog</a></nav>'
+            "<p>" + txt + "</p>"
+            '<footer>Copyright 2024 <a href="/tos">Terms</a> '
+            '<a href="/privacy">Privacy</a></footer>'
+        )[flavor == 0]
+        payload[flavor == 1] = (
+            "                    SECTION " + docs.doc_id.astype(str)
+            + "\n\n    " + txt.str.replace(". ", ".\n    ", regex=False)
+            + "\n\n                              Page 1"
+        )[flavor == 1]
+        payload[flavor == 2] = txt.str.replace(". ", ".\n\n", regex=False)[
+            flavor == 2
+        ]
+        payload[flavor == 3] = ('{"status": "ok", "result": "' + txt + '"}')[
+            flavor == 3
+        ]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": "conv-" + docs.doc_id.map("{:06d}".format),
+                    "turn_idx": t,
+                    "text": payload,
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out
+
+
 def derive_transcripts_from_documents(
     spark: SparkSession, sf_dir: str, turns_per_doc: int = 4
 ) -> DataFrame:

@@ -28,10 +28,11 @@ def test_every_query_has_oracle_or_is_marked(spark):
 
     qs, os_ = e.queries(), e.oracle_sql()
     for name in qs:
+        # every query carries an oracle: SQL-expressible ones a DuckDB
+        # query, x_* ones a precomputed expected table (gen_expected.py)
+        assert name in os_, f"{name} missing its DuckDB oracle"
         if name.startswith("x_"):
-            assert name not in os_, f"{name} marked rows-only but has oracle"
-        else:
-            assert name in os_, f"{name} missing its DuckDB oracle"
+            assert "read_parquet" in os_[name], f"{name}: expected-table oracle"
     for name in os_:
         assert name in qs, f"oracle {name} has no query"
 

@@ -37,6 +37,9 @@ def normalize(df):
 def compare(sf_dir: str, only: list[str] | None = None) -> dict[str, str]:
     import duckdb
 
+    # point the precomputed x_* oracles at this sf's expected files
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     import __spark_entry__ as entrymod
     from ocr_spark.plans.session import build_session
 
