@@ -252,7 +252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": _q_range_join,
         "q_events_rollup": _q_events_rollup,
         "q_json_extract": _q_json_extract,
-        # --- non-SQL-expressible (rows-only checks; full parity in pytest) -
+        # --- multimodal real decode (closed-form SQL oracle) ---------------
+        "q_image_decode": _q_image_decode,
+        # --- extraction/multimodal pipelines (precomputed-table oracles) ---
         "x_extract_documents": _x_extract_documents,
         "x_extract_transcripts": _x_extract_transcripts,
         "x_multimodal_features": _x_multimodal_features,
@@ -989,6 +991,19 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+# REAL image decode (P13 hardening): per doc, a deterministic 24-bit BMP
+# is synthesized (width/height/fill are closed forms of doc_id) and then
+# decoded by the pure-NumPy BMP decoder inside mapInPandas; the query
+# emits MEASURED geometry and pixel sums.  The DuckDB oracle computes the
+# same values from the closed forms — any header/stride/padding/channel
+# bug in the decoder breaks the hash match.
+def _q_image_decode(spark, sf_dir):
+    from ocr_spark.functions.multimodal import decode_images_real
+
+    d = _docs_wide(spark, sf_dir).select("doc_id")
+    return decode_images_real(d)
+
+
 # Extraction UDF over HTML-wrapped documents.  Oracle: precomputed
 # expected parquet from the single-process kernel (tools/gen_expected.py)
 # — the driver's rows+schema+hash gates apply in full.
@@ -1435,6 +1450,14 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(b.ts) <= epoch_us(a.ts)
              AND epoch_us(b.ts) > epoch_us(a.ts) - 3600000000
             GROUP BY 1
+        """,
+        "q_image_decode": """
+            SELECT doc_id,
+                   (8 + doc_id % 16)::BIGINT AS width,
+                   (4 + doc_id % 8)::BIGINT AS height,
+                   ((8 + doc_id % 16) * (4 + doc_id % 8))::BIGINT AS n_px,
+                   ((doc_id % 256) * (8 + doc_id % 16) * (4 + doc_id % 8) * 3)::BIGINT AS px_sum
+            FROM documents
         """,
         "q_sessionize": """
             WITH g AS (

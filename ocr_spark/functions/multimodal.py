@@ -2,14 +2,19 @@
 
 Media payloads are opaque `binary` columns with typed metadata, processed
 with Arrow-vectorized `mapInPandas` — the same distribution pattern as
-the text extractor (ocr_spark/operators/extract_op.py).  The sandbox has
-no codec libraries, so the DECODE step is a STUB: `decode_media_features`
-computes real byte-level features (length, checksum, magic-byte sniff)
-plus a deterministic fake decode (pseudo width/height/duration derived
-from header bytes); `decode_media_real` raises NotImplementedError and
-marks where PIL/librosa/pyav would plug in.  Everything Spark-side —
-schema, partitioning, UDF signature, Arrow batch shape — is real and
-tested (tests/test_multimodal.py).
+the text extractor (ocr_spark/operators/extract_op.py).
+
+Decode tiers (the sandbox has no PIL/librosa/pyav):
+  - REAL decode for uncompressed raster formats, implemented here in
+    pure NumPy: 24-bit BMP (BITMAPINFOHEADER, bottom-up or top-down,
+    4-byte row padding) and binary PPM (P6).  `decode_media_real` routes
+    by magic bytes and returns an (H, W, 3) uint8 array — exercised
+    end-to-end by the oracle-checked q_image_decode query.
+  - STUBBED decode for compressed codecs (png/jpeg/audio/video):
+    `decode_media_real` raises NotImplementedError at the single marked
+    seam where PIL/librosa/pyav would plug in; `decode_media_features`
+    provides deterministic byte-level features for those payloads so the
+    distributed plumbing stays real and tested (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -54,13 +59,92 @@ def with_binary_payload(df: DataFrame) -> DataFrame:
     )
 
 
-def decode_media_real(payload: bytes, media_type: str):
-    """Real decode hook — NOT available in this sandbox (no PIL/librosa/
-    pyav).  Kept as the single marked seam where codec libraries plug in;
-    the distributed plumbing around it is identical either way."""
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) — the fixture
+    writer for the real-decode path."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    img_size = (row_bytes + pad) * h
+    header = bytearray(54)
+    header[0:2] = b"BM"
+    header[2:6] = (54 + img_size).to_bytes(4, "little")
+    header[10:14] = (54).to_bytes(4, "little")       # pixel-data offset
+    header[14:18] = (40).to_bytes(4, "little")       # BITMAPINFOHEADER
+    header[18:22] = int(w).to_bytes(4, "little", signed=True)
+    header[22:26] = int(h).to_bytes(4, "little", signed=True)  # bottom-up
+    header[26:28] = (1).to_bytes(2, "little")        # planes
+    header[28:30] = (24).to_bytes(2, "little")       # bpp
+    header[30:34] = (0).to_bytes(4, "little")        # BI_RGB
+    header[34:38] = img_size.to_bytes(4, "little")
+    body = bytearray()
+    bgr = arr[:, :, ::-1]                            # BMP stores BGR
+    zeros = bytes(pad)
+    for y in range(h - 1, -1, -1):                   # bottom-up
+        body += bgr[y].tobytes() + zeros
+    return bytes(header) + bytes(body)
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    data = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = data.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()                   # BGR -> RGB
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    if b[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens (comments unsupported — fixture-grade parser), then one
+    # whitespace byte, then raw RGB
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(b[start:pos]))
+    pos += 1                                         # single ws after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 PPM supported")
+    data = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
+    """Real decode for uncompressed raster images (pure NumPy, no codec
+    libraries): 24-bit BMP and binary PPM, routed by magic bytes.
+    Compressed codecs (png/jpeg) and audio/video remain the single marked
+    seam where PIL/librosa/pyav would plug in — the distributed plumbing
+    around this function is identical either way."""
+    if media_type == "image":
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
     raise NotImplementedError(
-        "media codecs are not installed in this environment; "
-        "decode_media_features provides the deterministic stub path"
+        f"no in-sandbox codec for media_type={media_type!r} "
+        f"magic={payload[:4]!r}; compressed/audio/video decode needs "
+        "PIL/librosa/pyav (deterministic stub path: decode_media_features)"
     )
 
 
@@ -104,6 +188,53 @@ def _checksum(b: bytes) -> int:
     arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
     # positional rolling checksum, exact in int64 for payloads << 2^44
     return int((arr * (np.arange(len(arr)) % 1009 + 1)).sum())
+
+
+IMAGE_DECODE_SCHEMA_DDL = (
+    "doc_id bigint, width bigint, height bigint, n_px bigint, px_sum bigint"
+)
+
+
+def synthesize_bmp_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic BMP fixture per doc_id: width = 8 + doc_id % 16,
+    height = 4 + doc_id % 8, uniform gray fill = doc_id % 256.  Closed
+    form by construction, so a SQL oracle can verify the decoded
+    geometry AND the full pixel payload (px_sum)."""
+    payloads = []
+    for doc_id in pdf["doc_id"]:
+        w = 8 + int(doc_id) % 16
+        h = 4 + int(doc_id) % 8
+        fill = int(doc_id) % 256
+        arr = np.full((h, w, 3), fill, dtype=np.uint8)
+        payloads.append(encode_bmp(arr))
+    return pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                         "payload": payloads})
+
+
+def decode_images_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL image decode: mapInPandas over (doc_id) rows —
+    synthesize the BMP payload, then decode it with the pure-NumPy BMP
+    decoder and emit measured geometry + pixel sum.  Narrow op; the
+    encode half stands in for a binary scan column at production scale.
+    """
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            withp = synthesize_bmp_payloads(pdf)
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "n_px", "px_sum")}
+            for doc_id, payload in zip(withp["doc_id"], withp["payload"]):
+                arr = decode_media_real(payload, "image")
+                h, w, _ = arr.shape
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(w * h)
+                rows["px_sum"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return pruned.mapInPandas(gen, schema=IMAGE_DECODE_SCHEMA_DDL)
 
 
 def decode_media_features(df: DataFrame) -> DataFrame:

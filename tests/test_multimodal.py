@@ -1,24 +1,79 @@
 """Multimodal binary-column plumbing (ocr_spark/functions/multimodal.py).
 
-The decode step is a documented stub (no codec libs in-sandbox); these
-tests pin the REAL parts: schema, Arrow binary transport, batch shapes,
+Real decode (pure-NumPy BMP/PPM) is pinned by round-trip tests; the
+compressed-codec seam stays an explicit NotImplementedError.  The rest
+pins the Spark plumbing: schema, Arrow binary transport, batch shapes,
 determinism, magic sniffing, and empty-payload handling.
 """
 
+import numpy as np
 import pandas as pd
 import pytest
 
 from ocr_spark.functions.multimodal import (
     _decode_batch,
+    decode_images_real,
     decode_media_features,
     decode_media_real,
+    encode_bmp,
+    synthesize_bmp_payloads,
     with_binary_payload,
 )
 
 
-def test_decode_real_is_marked_stub():
+def test_decode_real_compressed_codecs_still_stubbed():
+    # png/jpeg/audio/video remain the marked codec seam
     with pytest.raises(NotImplementedError):
         decode_media_real(b"\x89PNG....", "image")
+    with pytest.raises(NotImplementedError):
+        decode_media_real(b"RIFF....WAVE", "audio")
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 16])
+def test_bmp_roundtrip_all_paddings(w):
+    """Row stride pads to 4 bytes — every w mod 4 case must survive."""
+    rng = np.random.default_rng(w)
+    arr = rng.integers(0, 256, size=(7, w, 3), dtype=np.uint8)
+    out = decode_media_real(encode_bmp(arr), "image")
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_bmp_decode_top_down():
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    b = bytearray(encode_bmp(arr))
+    # flip to top-down: negative height, rows already bottom-up in the
+    # payload -> decoder must NOT re-flip
+    b[22:26] = (-2).to_bytes(4, "little", signed=True)
+    out = decode_media_real(bytes(b), "image")
+    np.testing.assert_array_equal(out, arr[::-1])
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    payload = b"P6\n9 5\n255\n" + arr.tobytes()
+    out = decode_media_real(payload, "image")
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_synthesized_bmp_closed_form():
+    pdf = pd.DataFrame({"doc_id": [0, 7, 300]})
+    withp = synthesize_bmp_payloads(pdf)
+    for doc_id, payload in zip(withp.doc_id, withp.payload):
+        arr = decode_media_real(payload, "image")
+        assert arr.shape == (4 + doc_id % 8, 8 + doc_id % 16, 3)
+        assert (arr == doc_id % 256).all()
+
+
+def test_spark_image_decode_real(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(40)}))
+    rows = {r.doc_id: r for r in decode_images_real(df).collect()}
+    assert len(rows) == 40
+    for i in range(40):
+        w, h = 8 + i % 16, 4 + i % 8
+        assert rows[i].width == w and rows[i].height == h
+        assert rows[i].n_px == w * h
+        assert rows[i].px_sum == (i % 256) * w * h * 3
 
 
 def test_decode_batch_pure():
