@@ -17,6 +17,7 @@ Stage order (mirrors the reference lifecycle, SURVEY.md §3.1):
 from __future__ import annotations
 
 import re
+import warnings
 from typing import Any
 
 import numpy as np
@@ -50,6 +51,27 @@ _RE_ALNUM = re.compile(r"[0-9A-Za-z]")
 # sub call instead of a findall materializing a list of 1-char matches.
 _RE_WS_RUNS = re.compile(r"\s+")
 _RE_NON_ALNUM_RUNS = re.compile(r"[^0-9A-Za-z]+")
+
+
+# Observability for the batched-kernel degrade path (G26 preserves
+# correctness, but a SYSTEMATIC batched-path bug would silently cost the
+# ~2.7x batching speedup everywhere): count every whole-batch fallback
+# per worker process and warn once.  The counter is surfaced to callers
+# (e.g. asserted zero in tests, readable from heartbeat logs).
+BATCH_FALLBACKS = 0
+
+
+def note_batch_fallback(exc: BaseException) -> None:
+    global BATCH_FALLBACKS
+    BATCH_FALLBACKS += 1
+    if BATCH_FALLBACKS == 1:
+        warnings.warn(
+            "batched extraction kernel failed for a whole batch "
+            f"({type(exc).__name__}: {exc}); degrading to the scalar "
+            "per-turn loop — correct but ~2.7x slower",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def _count_nonspace(s: str) -> int:
@@ -340,7 +362,8 @@ def extract_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     texts = pdf["text"].tolist()
     try:
         results = _extract_batch_results(texts)
-    except Exception:
+    except Exception as exc:
+        note_batch_fallback(exc)
         results = [extract_turn(t) for t in texts]
     return pd.DataFrame(
         {

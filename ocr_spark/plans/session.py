@@ -33,6 +33,13 @@ def build_session(
         # 8192 x ~1KB payloads ~ 8MB/batch; measured 30% faster than 2048
         # (fewer per-batch Arrow IPC + pandas-construction round-trips).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # The record cap alone is row-count-based; MAX_TURN_CHARS allows
+        # 16 MiB turns, so a batch of fat turns must ALSO be bytes-gated
+        # or the UDF worker can see multi-GB batches on skewed corpora.
+        # 32 MB halves Spark 4's 64 MB default to leave headroom for the
+        # cross-turn flat block arrays _extract_batch_results builds on
+        # top of the Arrow batch (~2-3x the payload bytes).
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "33554432b")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_parallelism(master)))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -10,6 +10,12 @@ idempotence contract (dynamic partition overwrite by bucket):
   "/path/dir"             -> dynamic-overwrite parquet partitioned by bucket
 
 Tests never depend on the jar (SURVEY §7.4 sandbox risk).
+
+EXPERIMENTAL: the iceberg: branch is written against the public Iceberg
+Spark-runtime API (writeTo/overwritePartitions/append + spark.table) but
+CANNOT be executed in this sandbox — no Iceberg runtime jar is available
+— so it is unverified by any test here.  The parquet branch carries the
+identical idempotence contract and is fully tested.
 """
 
 from __future__ import annotations
@@ -50,5 +56,8 @@ def write_lineage(df: DataFrame, dest: str) -> None:
 
 def read_output(spark, dest: str) -> DataFrame:
     if dest.startswith(ICEBERG_PREFIX):
-        return spark.read.format("iceberg").load(dest[len(ICEBERG_PREFIX):])
+        # spark.table is the canonical read for catalog table identifiers
+        # and matches df.writeTo's catalog resolution; format("iceberg")
+        # .load() can be misread as a path under some catalog configs.
+        return spark.table(dest[len(ICEBERG_PREFIX):])
     return spark.read.parquet(dest)

@@ -27,11 +27,15 @@ TRANSCRIPTS_SCHEMA = T.StructType(
 
 
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """S1: scan the transcripts table (parquet sandbox stand-in for
-    `spark.read.format("iceberg").load(...)`; Catalyst pushdown/pruning
-    apply either way)."""
+    """S1: scan the transcripts table (parquet sandbox stand-in; Catalyst
+    pushdown/pruning apply either way).
+
+    EXPERIMENTAL: the iceberg: branch targets the public Iceberg
+    catalog-table API but is unexecutable in this sandbox (no runtime
+    jar) and therefore untested — see ocr_spark/sinks/writers.py.
+    """
     if path.startswith("iceberg:"):
-        return spark.read.format("iceberg").load(path[len("iceberg:") :])
+        return spark.table(path[len("iceberg:") :])
     return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
 
 

@@ -86,3 +86,38 @@ def test_close_gaps_edges_not_closed():
     # a gap touching either edge is not sandwiched -> stays open
     cand = np.array([False, True, True, False])
     assert close_gaps(cand).tolist() == [False, True, True, False]
+
+
+def test_moving_average_vs_convolve_differential():
+    """The pinned manual accumulation is the DEFINITION of the smoothing
+    semantics; this differential bounds its drift against the np.convolve
+    formulation it replaced (ulp-level only) and proves no adaptive-
+    threshold DECISION ever flips on quantized-integer inputs — the only
+    place drift could change output bytes (strict > in
+    adaptive_candidates).  Accepted-drift note: BASELINE.md."""
+    from ocr_spark.constants import ADAPTIVE_C, ADAPTIVE_WINDOW, SMOOTH_WINDOW
+
+    def conv_same(x, window):
+        w = min(window, len(x))
+        k = np.ones(w, dtype=np.float64) / w
+        return np.convolve(x.astype(np.float64), k, mode="same")
+
+    rng = np.random.default_rng(17)
+    flips = 0
+    max_drift = 0.0
+    for _ in range(500):
+        n = int(rng.integers(1, 300))
+        # bias toward repeated values: exact-tie-prone series
+        vals = rng.integers(0, 8, size=n) * 32
+        q = vals.astype(np.float64)
+        for w in (SMOOTH_WINDOW, ADAPTIVE_WINDOW):
+            drift = np.abs(moving_average(q, w) - conv_same(q, w))
+            max_drift = max(max_drift, float(drift.max()) if len(drift) else 0.0)
+        s_a = moving_average(q, SMOOTH_WINDOW)
+        m_a = moving_average(s_a, ADAPTIVE_WINDOW)
+        s_b = conv_same(q, SMOOTH_WINDOW)
+        m_b = conv_same(s_b, ADAPTIVE_WINDOW)
+        if not np.array_equal(s_a > m_a - ADAPTIVE_C, s_b > m_b - ADAPTIVE_C):
+            flips += 1
+    assert max_drift < 1e-9, max_drift
+    assert flips == 0
