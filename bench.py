@@ -7,6 +7,10 @@ and prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "turns_per_sec": ..., "scaling": {...}}
 
+Per-query timings are the MEDIAN of $SPARK_GRAFT_QUERY_REPS (default 3)
+in-run repeats, so round-over-round comparisons survive the host's ~40%
+timing variance (BASELINE.md caveat).
+
 The north-rule scaling criterion (throughput efficiency >= 0.8 from N to
 4N executors) cannot use a real cluster in this sandbox.  It is
 evidenced by running the IDENTICAL extraction job in subprocesses pinned
@@ -93,7 +97,7 @@ def _force(df) -> None:
 
 
 def _extraction_run(master: str, shuffle_parts: int,
-                    turns_per_doc: int = 100, reps: int = 2) -> dict:
+                    turns_per_doc: int = 100, reps: int = 3) -> dict:
     """One full extraction job at the given parallelism; returns
     turns count + best-of-`reps` wall seconds (pipeline only; the
     sandbox VM shows ~2x run-to-run timing noise, so best-of-N).
@@ -165,13 +169,26 @@ def main() -> None:
         wall_procs = min(32, os.cpu_count() or 8)
         hw_wall = _hw_ceiling(pdf, wall_procs, reps=1)
         del pdf
-        r_n = _pinned_extraction_run(2)
-        r_4n = _pinned_extraction_run(8)
+        # Two INTERLEAVED measurement windows per width, best-of per
+        # width: the VM's throughput swings ~40% between windows
+        # (BASELINE.md) and transient co-tenant contention only ever
+        # slows a run down, so per-width best is the least-biased
+        # steady-state estimate; all samples are reported.
+        samples = {2: [], 8: []}
+        for _ in range(2):
+            for n in (2, 8):
+                samples[n].append(_pinned_extraction_run(n))
+        r_n = max(samples[2], key=lambda r: r["turns_per_sec"])
+        r_4n = max(samples[8], key=lambda r: r["turns_per_sec"])
         speedup = r_4n["turns_per_sec"] / r_n["turns_per_sec"]
         hw_speedup = hw_4n["turns_per_sec"] / hw_n["turns_per_sec"]
         scaling = {
             "n_cores": r_n,
             "4n_cores": r_4n,
+            "samples": {
+                "n_cores": [r["turns_per_sec"] for r in samples[2]],
+                "4n_cores": [r["turns_per_sec"] for r in samples[8]],
+            },
             "speedup": round(speedup, 3),
             "efficiency_raw": round(speedup / 4.0, 3),
             "hw_ceiling_n": hw_n,
@@ -209,17 +226,25 @@ def main() -> None:
     qs = entry.queries()
     per_query: dict[str, float] = {}
     turns_per_sec = None
+    # median of QUERY_REPS in-run repeats per query: the host's ~40%
+    # run-to-run variance (BASELINE.md caveat) otherwise swamps
+    # round-over-round comparisons of individual queries
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
+        times = []
+        n = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            if name == "x_extract_transcripts":
+                n = df.count()
+            else:
+                _force(df)
+            times.append(time.perf_counter() - t0)
+        med = sorted(times)[len(times) // 2]
         if name == "x_extract_transcripts":
-            n = df.count()
-            dt = time.perf_counter() - t0
-            turns_per_sec = round(n / dt, 1)
-        else:
-            _force(df)
-            dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
+            turns_per_sec = round(n / med, 1)
+        per_query[name] = round(med, 3)
 
     total = round(sum(per_query.values()), 3)
     out = {
@@ -228,6 +253,8 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": _sf_from_dir(SF_DIR),
+        "query_reps": reps,
+        "aggregation": "median",
         "turns_per_sec": turns_per_sec,
         "exact_match_gate": "pytest tests/ (oracle parity suite)",
         "scaling": scaling,

@@ -1,0 +1,22 @@
+"""ANN quality instrumentation (tools/ann_recall.py): the measurement
+harness runs, and the recall/candidate tradeoff moves the right way —
+more probes must never lose recall or shrink the candidate pool."""
+
+from tools.ann_recall import measure
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_recall_measurement_and_tradeoff_monotonicity():
+    m = measure(SF_DIR, k=3)
+    assert m["n"] > 0
+    assert 0.0 <= m["lsh"]["recall_at_k"] <= 1.0
+    probes = m["ivf"]["nprobe"]
+    r1, r2, r4 = (probes[p]["recall_at_k"] for p in ("1", "2", "4"))
+    c1, c2, c4 = (probes[p]["avg_candidates"] for p in ("1", "2", "4"))
+    assert r1 <= r2 <= r4
+    assert c1 <= c2 <= c4
+    # multi-probe must buy real recall on this corpus (measured ~4x)
+    assert r4 > r1
+    # and still scan far fewer candidates than brute force
+    assert c4 < m["n"]

@@ -1,0 +1,108 @@
+"""ANN quality instrumentation: recall@k of the engine's two approximate
+search paths against exact brute force, plus the multi-probe tradeoff.
+
+Pure-NumPy twin of the query semantics in __spark_entry__ (same sign-LSH
+bucket rule via _lsh_bits, same lowest-id IVF quantizer via _ivf_cells),
+run over a driver sf dir.  Prints one JSON line:
+
+  {"sf_dir": ..., "n": ..., "lsh": {"bits": b, "recall_at_3": r,
+   "avg_candidates": c}, "ivf": {"cells": m, "nprobe": {1: {...}, ...}}}
+
+Context for reading the numbers: the sandbox embeddings are near-random,
+so ANY partitioned search has low top-k recall (near-orthogonal vectors
+have essentially arbitrary top-3 sets).  On clustered production
+embeddings the same plans recall far more; what this tool pins is the
+recall/candidate-count TRADEOFF (nprobe doubles candidates and recall
+moves with it) so parameter choices are measured, not guessed.  Near-dup
+recall (the dedup use case) is exact by construction — planted
+duplicates always share a bucket — and is driver-verified separately
+(q_embedding_neardup).
+
+Usage: python tools/ann_recall.py [sf_dir] [k]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from __spark_entry__ import _ivf_cells, _lsh_bits  # noqa: E402
+
+
+def measure(sf_dir: str, k: int = 3) -> dict:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    v = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    n = len(v)
+    norm = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    np.fill_diagonal(sims, -2.0)
+    exact = np.argsort(-sims, axis=1)[:, :k]
+
+    def recall_for(groups: np.ndarray) -> tuple[float, float]:
+        """groups: (n, p) group ids per row (p probes).  Candidates =
+        rows sharing any probed group."""
+        hits = tot = cand_total = 0
+        # invert group -> members once
+        from collections import defaultdict
+
+        members = defaultdict(list)
+        for i, gs in enumerate(groups):
+            for g in set(gs.tolist()):
+                members[g].append(i)
+        for i in range(n):
+            cand = set()
+            for g in set(groups[i].tolist()):
+                cand.update(members[g])
+            cand.discard(i)
+            cand_total += len(cand)
+            if not cand:
+                tot += k
+                continue
+            cl = np.fromiter(cand, dtype=np.int64)
+            top = cl[np.argsort(-sims[i, cl])][:k]
+            hits += len(set(top.tolist()) & set(exact[i].tolist()))
+            tot += k
+        return hits / tot, cand_total / n
+
+    bits = _lsh_bits(n)
+    lsh_groups = ((v[:, :bits] > 0) @ (1 << np.arange(bits, dtype=np.int64)))
+    lsh_recall, lsh_cand = recall_for(lsh_groups[:, None])
+
+    cells = _ivf_cells(n)
+    cents = norm[:cells]
+    cell_sims = norm @ cents.T
+    ivf = {}
+    for nprobe in (1, 2, 4):
+        probes = np.argsort(-cell_sims, axis=1)[:, :nprobe]
+        r, c = recall_for(probes)
+        ivf[str(nprobe)] = {
+            "recall_at_k": round(r, 4),
+            "avg_candidates": round(c, 1),
+        }
+
+    return {
+        "sf_dir": sf_dir,
+        "n": n,
+        "k": k,
+        "lsh": {
+            "bits": bits,
+            "recall_at_k": round(lsh_recall, 4),
+            "avg_candidates": round(lsh_cand, 1),
+        },
+        "ivf": {"cells": cells, "nprobe": ivf},
+        "note": "sandbox embeddings are near-random; read the tradeoff, "
+                "not the absolute recall (see module docstring)",
+    }
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    print(json.dumps(measure(sf, k)))
