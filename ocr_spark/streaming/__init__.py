@@ -1,4 +1,5 @@
 from ocr_spark.streaming.extract_stream import (  # noqa: F401
+    run_dedup_stream,
     run_extract_stream,
     run_turn_rate_stream,
     stream_transcripts,

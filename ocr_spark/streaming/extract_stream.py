@@ -103,3 +103,42 @@ def run_extract_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Streaming exact dedup (P1's continuous twin): drop turns whose
+    payload hash was already seen within the watermark horizon.
+
+    `dropDuplicatesWithinWatermark` keys state on md5(text) and — unlike
+    plain dropDuplicates — EVICTS state once the watermark passes an
+    entry, so state is bounded by (dedup horizon x arrival rate), not by
+    stream length: the property that matters at 10^12 turns.  Duplicates
+    separated by more than the horizon are deliberately kept (the batch
+    exact-dedup pass downstream owns cross-horizon dedup; typical
+    crawl/ingest duplicates cluster tightly in time).
+    """
+    import pyspark.sql.functions as F
+
+    turns = stream_transcripts(spark, input_path)
+    deduped = (
+        turns.withColumn("text_md5", F.md5(F.coalesce("text", F.lit(""))))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+        .drop("text_md5")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -165,3 +165,37 @@ def test_stream_stateful_conversation_assembly(spark, dirs):
     assert int(a.n_chars) == 40
     assert int(a.first_turn_idx) == 0 and int(a.last_turn_idx) == 3
     assert int(out.loc["conv-b"].n_turns) == 1
+
+
+def test_stream_dedup_within_watermark(spark, dirs):
+    """Streaming exact dedup: duplicate payloads inside the watermark
+    horizon are dropped; state is keyed on md5(text) and evicted by the
+    watermark (dropDuplicatesWithinWatermark semantics)."""
+    from ocr_spark.streaming import run_dedup_stream
+
+    inp, outp, ckpt = dirs
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(6)],
+            "turn_idx": [0] * 6,
+            "role": ["user"] * 6,
+            # three distinct payloads, each duplicated once within minutes
+            "text": ["dup A text", "dup A text", "dup B text",
+                     "dup B text", "unique C text", "unique C text"],
+            "tool": [""] * 6,
+            "ts": [base + pd.Timedelta(minutes=m) for m in range(6)],
+        }
+    )
+    _write_batch(spark, pdf, inp)
+    q = run_dedup_stream(spark, inp, outp, ckpt, available_now=True)
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    out = spark.read.parquet(outp).toPandas()
+    # one survivor per distinct payload
+    assert len(out) == 3
+    assert sorted(out.text.unique()) == ["dup A text", "dup B text",
+                                         "unique C text"]
+    # schema round-trips without the helper hash column
+    assert "text_md5" not in out.columns
