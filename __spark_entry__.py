@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": _q_range_join,
         "q_events_rollup": _q_events_rollup,
         "q_json_extract": _q_json_extract,
+        "q_distinct_counts": _q_distinct_counts,
+        "q_window_frames": _q_window_frames,
         # --- multimodal real decode (closed-form SQL oracle) ---------------
         "q_image_decode": _q_image_decode,
         # --- extraction/multimodal pipelines (precomputed-table oracles) ---
@@ -993,6 +995,44 @@ def _q_json_extract(spark, sf_dir):
     )
 
 
+# Grouped distinct aggregation (standard pipeline op the reference lacks;
+# exact COUNT(DISTINCT), so both engines hash-match — the approximate
+# HLL variant exists as approx_count_distinct but cannot be
+# oracle-compared across engines).  At scale Spark plans this as a
+# two-phase expand + partial aggregate; no driver-side work.
+def _q_distinct_counts(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+# Window-frame coverage beyond row_number/lag cumsum: lead/lag deltas and
+# a bounded rolling mean (rowsBetween -2..0) per user ordered by time —
+# the SQL-window twin of the extractor's in-UDF moving average (G3).
+def _q_window_frames(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    value_fp = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    prev_fp = F.floor(F.lag("value", 1).over(w) * F.lit(100.0)).cast("long")
+    nxt_fp = F.floor(F.lead("value", 1).over(w) * F.lit(100.0)).cast("long")
+    # fixed-point BEFORE averaging: floor(avg) over already-floored
+    # values is engine-stable (pure int arithmetic over 3 values)
+    roll_fp = F.floor(
+        F.avg(F.floor(F.col("value") * F.lit(100.0))).over(wf)
+    ).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        value_fp.alias("value_fp"),
+        prev_fp.alias("prev_fp"),
+        nxt_fp.alias("next_fp"),
+        roll_fp.alias("roll3_fp"),
+    )
+
+
 # As-of join — an operator Spark lacks natively, built Spark-first as the
 # canonical union + last(ignorenulls) window (one shuffle on the key, no
 # range cross-product): for each purchase event, the most recent view
@@ -1532,6 +1572,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    floor(sum(value) * 100.0)::BIGINT AS sum_value_fp
             FROM events GROUP BY 1, 2
+        """,
+        "q_distinct_counts": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS n_users,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1
+        """,
+        "q_window_frames": """
+            SELECT user_id, event_id,
+                   floor(value * 100.0)::BIGINT AS value_fp,
+                   floor(lag(value, 1) OVER w * 100.0)::BIGINT AS prev_fp,
+                   floor(lead(value, 1) OVER w * 100.0)::BIGINT AS next_fp,
+                   floor(avg(floor(value * 100.0))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT AS roll3_fp
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "q_asof_join": """
             WITH a AS (
