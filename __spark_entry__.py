@@ -437,8 +437,10 @@ def _q_ngram_jaccard(spark, sf_dir):
 # identical deterministic banding, so results match by construction.
 def _q_minhash_lsh(spark, sf_dir):
     s = _shingle_fps(_docs_with_planted_dups(spark, sf_dir))
-    # all K min-hashes in ONE aggregation over the raw shingle rows (no
-    # x8 explode): 8x less pre-shuffle data and map-side partial mins
+    # all K min-hashes AND the per-doc shingle count in ONE aggregation
+    # over the raw shingle rows (no x8 explode): 8x less pre-shuffle data,
+    # map-side partial mins, and one fewer recompute of the shingle
+    # subtree (the count previously came from a separate groupBy)
     sig = s.groupBy("doc_id").agg(
         *[
             F.min(
@@ -446,7 +448,8 @@ def _q_minhash_lsh(spark, sf_dir):
                 % F.lit(_M31)
             ).alias(f"mh{k}")
             for k in range(8)
-        ]
+        ],
+        F.count(F.lit(1)).alias("n_sh"),
     )
     band_structs = F.array(
         *[
@@ -477,7 +480,9 @@ def _q_minhash_lsh(spark, sf_dir):
         )
         .distinct()
     )
-    n = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # n_sh rides on the sig aggregation (identical subtree on every use,
+    # so Spark's exchange reuse dedups the recomputation)
+    n = sig.select("doc_id", "n_sh")
     sa = s.select(F.col("doc_id").alias("doc_a"), "fp")
     sb = s.select(F.col("doc_id").alias("doc_b"), "fp")
     shared = (
