@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis -----------------------------------------------
         "q_lang_id": _q_lang_id,
         "q_quality_score": _q_quality_score,
+        "q_scrub_pii": _q_scrub_pii,
+        "q_hash_sample": _q_hash_sample,
+        "q_tfidf_top_terms": _q_tfidf_top_terms,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -360,6 +363,83 @@ def _q_quality_score(spark, sf_dir):
     return d.select(
         "doc_id",
         F.floor(score * F.lit(10000.0)).cast("long").alias("quality_fp"),
+    )
+
+
+# PII scrubbing (training-data hygiene op): deterministic email+URL
+# markers are injected per doc (the fixture corpus has none), then
+# counted and redacted.  The regexes are dialect-portable (Java regex and
+# DuckDB's RE2 agree); Spark's regexp_replace is global by default,
+# DuckDB needs the 'g' flag.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^ ]+"
+
+
+def _q_scrub_pii(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir)
+    payload = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or http://ex.com/p/"),
+        F.col("doc_id").cast("string"), F.lit(" now"),
+    )
+    d = d.select("doc_id", payload.alias("p"))
+    n_emails = F.size(F.regexp_extract_all(F.col("p"), F.lit(_EMAIL_RE), F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all(F.col("p"), F.lit(_URL_RE), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("p"), _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return d.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+        red.alias("scrubbed"),
+    )
+
+
+# Deterministic hash-based sampling (stratified-sampling building block):
+# a doc is in the 10% sample iff its cross-engine md5 fingerprint lands
+# in buckets 0-9 of 100.  Unlike rand()-based sampling this is exactly
+# reproducible across engines, runs, and cluster sizes — the property a
+# training-data pipeline needs for auditable subsets.
+def _q_hash_sample(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % F.lit(100)
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(bkt < 10, 1)).cast("long").alias("n_sampled"),
+    )
+
+
+# TF-IDF-style term salience: top-3 rare-term scores per document.
+# score = tf * 1e6 div df (integer arithmetic end-to-end, so both
+# engines rank identically; the float log() idf variant is monotone in
+# the same df and would risk last-ulp divergence).  Plan shape: explode
+# words -> two hash aggregates (tf, df) -> broadcast-size df join ->
+# window top-k.  At 100 TB df is computed once per vocabulary term
+# (vocab << corpus) and the join partitions by word.
+def _q_tfidf_top_terms(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ")).alias("w"),
+    ).filter(F.length("w") >= 4)
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "w").select(
+        "doc_id", "w", F.expr("tf * 1000000 div df").alias("score_fp")
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "w", "score_fp", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -1267,6 +1347,49 @@ def oracle_sql() -> dict[str, str]:
                    floor((least(words, 100.0) / 100.0 * 0.5 +
                           CASE WHEN words > 0 THEN stop_hits / words ELSE 0.0 END * 0.5) * 10000.0)::BIGINT AS quality_fp
             FROM t
+        """,
+        "q_scrub_pii": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR ||
+                     '@example.com or http://ex.com/p/' || doc_id::VARCHAR ||
+                     ' now' AS p
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(p, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(p, '{_URL_RE}'))::BIGINT AS n_urls,
+                   regexp_replace(regexp_replace(p, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_URL_RE}', '<URL>', 'g') AS scrubbed
+            FROM p
+        """,
+        "q_hash_sample": """
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   count(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+                              THEN 1 END)::BIGINT AS n_sampled
+            FROM documents GROUP BY lang
+        """,
+        "q_tfidf_top_terms": """
+            WITH words AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(
+                         lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                         ' +', ' ', 'g')), ' ')) AS w
+                FROM documents
+              ) WHERE length(w) >= 4
+            ),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+            df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1)
+            SELECT doc_id, w, score_fp, rnk::BIGINT AS rnk FROM (
+              SELECT tf.doc_id, tf.w,
+                     (tf.tf * 1000000) // df.df AS score_fp,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY (tf.tf * 1000000) // df.df DESC,
+                                                 tf.w ASC) AS rnk
+              FROM tf JOIN df ON tf.w = df.w
+            ) WHERE rnk <= 3
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_md5,
