@@ -59,6 +59,22 @@ def _lsh_bits(n_rows: int) -> int:
     return max(6, min(62, math.ceil(math.log2(max(n_rows, 1) / float(_LSH_TARGET_BUCKET)))))
 
 
+def _ed_with_norm(e: DataFrame) -> DataFrame:
+    """(vec_id, v: array<double>, nrm): embeddings with the L2 norm
+    computed ONCE per vector.  Every pairwise-similarity query divides by
+    both norms; computing them per PAIR (round 1) tripled the hot-loop
+    flops.  The fold order is identical to the per-pair formulation, so
+    the value — and every downstream fixed-point hash — is bit-identical
+    (IEEE determinism); the DuckDB oracles factor the norm identically.
+    """
+    ed = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    return ed.select("vec_id", "v", nrm.alias("nrm"))
+
+
 # DuckDB twin of _lsh_bits, as a scalar CTE (identical formula; log2/ceil
 # on IEEE doubles agree across engines for these inputs).
 _SQL_LSH_BITS = (
@@ -716,29 +732,26 @@ def _q_doc_fingerprint(spark, sf_dir):
 def _q_embedding_ann_lsh(spark, sf_dir):
     e = _tbl(spark, sf_dir, "embeddings")
     n_bits = _lsh_bits(e.count())
-    ed = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ed = _ed_with_norm(e)
     bkt = sum(
         F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(n_bits)
     )
     ed = ed.withColumn("bkt", bkt.cast("int"))
     q = ed.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bkt"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "bkt",
     )
     joined = q.join(
-        ed.select(F.col("vec_id").alias("neighbor_id"), "v", "bkt"), "bkt"
+        ed.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm", "bkt"),
+        "bkt",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     dot = F.aggregate(
         F.zip_with("qv", "v", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
-    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    sim_fp = F.floor(dot / (nq * nv) * F.lit(1000000.0)).cast("long")
+    sim_fp = F.floor(dot / (F.col("qn") * F.col("nrm")) * F.lit(1000000.0)).cast("long")
     scored = joined.select(
         "query_id", "bkt", "neighbor_id", sim_fp.alias("sim_fp")
     )
@@ -768,23 +781,21 @@ def _q_embedding_ann_lsh(spark, sf_dir):
 # Never run it at production scale.
 def _q_embedding_topk(spark, sf_dir):
     e = _tbl(spark, sf_dir, "embeddings")
-    ed = e.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    ed = _ed_with_norm(e)
     q = ed.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
-    joined = q.crossJoin(ed.select(F.col("vec_id").alias("neighbor_id"), "v")).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    joined = q.crossJoin(
+        ed.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     dot = F.aggregate(
         F.zip_with("qv", "v", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
-    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    sim_fp = F.floor(dot / (nq * nv) * F.lit(1000000.0)).cast("long")
+    sim_fp = F.floor(dot / (F.col("qn") * F.col("nrm")) * F.lit(1000000.0)).cast("long")
     scored = joined.select("query_id", "neighbor_id", sim_fp.alias("sim_fp"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_fp").desc(), F.col("neighbor_id").asc()
@@ -814,22 +825,25 @@ def _q_embedding_neardup(spark, sf_dir):
         F.transform("v", lambda x: x * F.lit(2.0)).alias("v"),
     )
     alle = ed.unionByName(planted)
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     bkt = sum(
         F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(n_bits)
     )
-    alle = alle.withColumn("bkt", bkt.cast("int"))
-    a = alle.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bkt")
-    b = alle.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bkt")
+    alle = alle.select(
+        "vec_id", "v", nrm.alias("nrm"), bkt.cast("int").alias("bkt")
+    )
+    a = alle.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"), "bkt")
+    b = alle.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"), "bkt")
     joined = a.join(b, "bkt").filter(F.col("vec_a") < F.col("vec_b"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
-    sim_fp = F.floor(dot / (na * nb) * F.lit(1000000.0)).cast("long")
+    sim_fp = F.floor(dot / (F.col("na") * F.col("nb")) * F.lit(1000000.0)).cast("long")
     return (
         joined.select("vec_a", "vec_b", sim_fp.alias("sim_fp"))
         .filter(F.col("sim_fp") >= 999000)
@@ -846,41 +860,41 @@ def _q_embedding_neardup(spark, sf_dir):
 # intra-cell exact search stays ~N^1.5 total instead of N^2/const; at
 # production scale N comes from table statistics, and the centroid set
 # comes from a sampled k-means rather than lowest-ids.
+def _ivf_sim(a, b, na, nb):
+    """Fixed-point cosine with PRE-COMPUTED norms (once per vector, not
+    per pair — see _ed_with_norm)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(dot / (F.col(na) * F.col(nb)) * F.lit(1000000.0)).cast("long")
+
+
 def _q_embedding_ann_ivf(spark, sf_dir):
     e = _tbl(spark, sf_dir, "embeddings")
     n_cells = _ivf_cells(e.count())
-    ed = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ed = _ed_with_norm(e)
     cents = ed.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
-
-    def _sim(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-        return F.floor(dot / (na * nb) * F.lit(1000000.0)).cast("long")
-
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("c_sim").desc(), F.col("cid").asc()
     )
     assigned = (
         ed.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cid", _sim("v", "cv").alias("c_sim"))
+        .select("vec_id", "v", "nrm", "cid",
+                _ivf_sim("v", "cv", "nrm", "cn").alias("c_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cell"))
+        .select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
     )
     q = assigned.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "cell",
     )
-    n = assigned.select(F.col("vec_id").alias("neighbor_id"), "v", "cell")
+    n = assigned.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm", "cell")
     w_top = Window.partitionBy("query_id").orderBy(
         F.col("sim_fp").desc(), F.col("neighbor_id").asc()
     )
@@ -891,7 +905,7 @@ def _q_embedding_ann_ivf(spark, sf_dir):
             "query_id",
             F.col("cell").cast("long").alias("cell"),
             "neighbor_id",
-            _sim("qv", "v").alias("sim_fp"),
+            _ivf_sim("qv", "v", "qn", "nrm").alias("sim_fp"),
         )
         .withColumn("rnk", F.row_number().over(w_top))
         .filter(F.col("rnk") <= 3)
@@ -910,38 +924,27 @@ def _q_embedding_ann_ivf(spark, sf_dir):
 def _q_embedding_ann_ivf_mp(spark, sf_dir, nprobe: int = 4):
     e = _tbl(spark, sf_dir, "embeddings")
     n_cells = _ivf_cells(e.count())
-    ed = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
+    ed = _ed_with_norm(e)
     cents = ed.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
-
-    def _sim(a, b):
-        dot = F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-        return F.floor(dot / (na * nb) * F.lit(1000000.0)).cast("long")
-
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("c_sim").desc(), F.col("cid").asc()
     )
     ranked = (
         ed.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cid", _sim("v", "cv").alias("c_sim"))
+        .select("vec_id", "v", "nrm", "cid",
+                _ivf_sim("v", "cv", "nrm", "cn").alias("c_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
     )
     probes = ranked.filter(F.col("rn") <= nprobe).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("cid").alias("cell"),
+        F.col("nrm").alias("qn"), F.col("cid").alias("cell"),
     )
     index = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "v", F.col("cid").alias("cell")
+        F.col("vec_id").alias("neighbor_id"), "v", "nrm",
+        F.col("cid").alias("cell"),
     )
     w_top = Window.partitionBy("query_id").orderBy(
         F.col("sim_fp").desc(), F.col("neighbor_id").asc()
@@ -949,7 +952,8 @@ def _q_embedding_ann_ivf_mp(spark, sf_dir, nprobe: int = 4):
     return (
         probes.join(index, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", _sim("qv", "v").alias("sim_fp"))
+        .select("query_id", "neighbor_id",
+                _ivf_sim("qv", "v", "qn", "nrm").alias("sim_fp"))
         .withColumn("rnk", F.row_number().over(w_top))
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "sim_fp",
@@ -1519,17 +1523,17 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_ann_lsh": f"""
             WITH p AS ({_SQL_LSH_BITS}),
             ed AS (
-              SELECT vec_id, [x::DOUBLE for x in embedding] AS v,
-                     list_sum([CASE WHEN embedding[i+1] > 0
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                     list_sum([CASE WHEN v[i+1] > 0
                                     THEN 1::BIGINT << i ELSE 0 END
                                for i in range(p.nb)])::BIGINT AS bkt
-              FROM embeddings, p
+              FROM (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+                    FROM embeddings), p
             ),
             scored AS (
               SELECT q.vec_id AS query_id, q.bkt, e.vec_id AS neighbor_id,
                      floor(list_dot_product(q.v, e.v) /
-                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
-                           * 1000000.0)::BIGINT AS sim_fp
+                           (q.nrm * e.nrm) * 1000000.0)::BIGINT AS sim_fp
               FROM ed q JOIN ed e ON q.bkt = e.bkt AND q.vec_id != e.vec_id
             )
             SELECT query_id, bkt::BIGINT AS bkt, neighbor_id, sim_fp, rnk::BIGINT AS rnk
@@ -1551,7 +1555,7 @@ def oracle_sql() -> dict[str, str]:
               FROM base WHERE vec_id < 10
             ),
             eb AS (
-              SELECT vec_id, v,
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
                      list_sum([CASE WHEN v[i+1] > 0
                                     THEN 1::BIGINT << i ELSE 0 END
                                for i in range(p.nb)])::BIGINT AS bkt
@@ -1559,28 +1563,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    floor(list_dot_product(a.v, b.v) /
-                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                         * 1000000.0)::BIGINT AS sim_fp
+                         (a.nrm * b.nrm) * 1000000.0)::BIGINT AS sim_fp
             FROM eb a JOIN eb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
             WHERE floor(list_dot_product(a.v, b.v) /
-                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                        * 1000000.0) >= 999000
+                        (a.nrm * b.nrm) * 1000000.0) >= 999000
         """,
         "q_embedding_ann_ivf": f"""
             WITH ed AS (
-              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+                SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+              )
             ),
             cents AS (
-              SELECT vec_id AS cid, v AS cv FROM ed
+              SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ed
               WHERE vec_id < ({_SQL_IVF_CELLS})
             ),
             assigned AS (
-              SELECT vec_id, v, cid AS cell FROM (
-                SELECT e.vec_id, e.v, c.cid,
+              SELECT vec_id, v, nrm, cid AS cell FROM (
+                SELECT e.vec_id, e.v, e.nrm, c.cid,
                        row_number() OVER (
                          PARTITION BY e.vec_id
                          ORDER BY floor(list_dot_product(e.v, c.cv) /
-                                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                                 (e.nrm * c.cn)
                                  * 1000000.0)::BIGINT DESC, c.cid ASC) AS rn
                 FROM ed e CROSS JOIN cents c
               ) WHERE rn = 1
@@ -1588,8 +1592,7 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
               SELECT q.vec_id AS query_id, q.cell, n.vec_id AS neighbor_id,
                      floor(list_dot_product(q.v, n.v) /
-                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
-                           * 1000000.0)::BIGINT AS sim_fp
+                           (q.nrm * n.nrm) * 1000000.0)::BIGINT AS sim_fp
               FROM assigned q JOIN assigned n
                 ON q.cell = n.cell AND q.vec_id != n.vec_id
             )
@@ -1602,34 +1605,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_embedding_ann_ivf_mp": f"""
             WITH ed AS (
-              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+                SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+              )
             ),
             cents AS (
-              SELECT vec_id AS cid, v AS cv FROM ed
+              SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ed
               WHERE vec_id < ({_SQL_IVF_CELLS})
             ),
             ranked AS (
-              SELECT e.vec_id, e.v, c.cid,
+              SELECT e.vec_id, e.v, e.nrm, c.cid,
                      row_number() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY floor(list_dot_product(e.v, c.cv) /
-                               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                               (e.nrm * c.cn)
                                * 1000000.0)::BIGINT DESC, c.cid ASC) AS rn
               FROM ed e CROSS JOIN cents c
             ),
             probes AS (
-              SELECT vec_id AS query_id, v AS qv, cid AS cell
+              SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cell
               FROM ranked WHERE rn <= 4
             ),
             idx AS (
-              SELECT vec_id AS neighbor_id, v, cid AS cell
+              SELECT vec_id AS neighbor_id, v, nrm, cid AS cell
               FROM ranked WHERE rn = 1
             ),
             scored AS (
               SELECT p.query_id, i.neighbor_id,
                      floor(list_dot_product(p.qv, i.v) /
-                           (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(i.v, i.v)))
-                           * 1000000.0)::BIGINT AS sim_fp
+                           (p.qn * i.nrm) * 1000000.0)::BIGINT AS sim_fp
               FROM probes p JOIN idx i
                 ON p.cell = i.cell AND p.query_id != i.neighbor_id
             )
@@ -1642,13 +1646,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_embedding_topk": """
             WITH ed AS (
-              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+                SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+              )
             ),
             scored AS (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                      floor(list_dot_product(q.v, e.v) /
-                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
-                           * 1000000.0)::BIGINT AS sim_fp
+                           (q.nrm * e.nrm) * 1000000.0)::BIGINT AS sim_fp
               FROM ed q JOIN ed e ON q.vec_id < 20 AND q.vec_id != e.vec_id
             )
             SELECT query_id, neighbor_id, sim_fp, rnk::BIGINT AS rnk FROM (
