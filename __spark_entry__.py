@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": _q_json_extract,
         "q_distinct_counts": _q_distinct_counts,
         "q_window_frames": _q_window_frames,
+        "q_median_value": _q_median_value,
+        "q_pivot_events": _q_pivot_events,
         # --- multimodal real decode (closed-form SQL oracle) ---------------
         "q_image_decode": _q_image_decode,
         # --- extraction/multimodal pipelines (precomputed-table oracles) ---
@@ -1084,6 +1086,49 @@ def _q_json_extract(spark, sf_dir):
     )
 
 
+# Exact median per group (quantile operator class), integer arithmetic
+# end-to-end: percentile()/quantile_cont interpolate in floats and can
+# diverge at the ulp across engines, so the median is constructed
+# manually — rank the fixed-point values, take the middle one (odd n) or
+# floor-average the middle two (even n).  One shuffle (the window),
+# deterministic tie order.
+def _q_median_value(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    vfp = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    d = ev.select("event_type", "event_id", vfp.alias("vfp"))
+    w = Window.partitionBy("event_type").orderBy("vfp", "event_id")
+    ranked = d.select(
+        "event_type",
+        "vfp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("event_type").agg(
+        F.expr("sum(vfp) div count(*)").alias("median_fp"),
+        F.max("n").alias("n_events"),
+    )
+
+
+# Pivot-shaped conditional aggregation: per-day event counts spread into
+# one column per type (FILTER/CASE form — identical in both engines,
+# unlike the PIVOT keyword whose output schemas differ).
+def _q_pivot_events(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).cast("long")
+    return ev.groupBy(day).agg(
+        cnt("click").alias("n_click"),
+        cnt("view").alias("n_view"),
+        cnt("purchase").alias("n_purchase"),
+        cnt("signup").alias("n_signup"),
+        cnt("error").alias("n_error"),
+    )
+
+
 # Grouped distinct aggregation (standard pipeline op the reference lacks;
 # exact COUNT(DISTINCT), so both engines hash-match — the approximate
 # HLL variant exists as approx_count_distinct but cannot be
@@ -1705,6 +1750,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    floor(sum(value) * 100.0)::BIGINT AS sum_value_fp
             FROM events GROUP BY 1, 2
+        """,
+        "q_median_value": """
+            WITH d AS (
+              SELECT event_type, event_id,
+                     floor(value * 100.0)::BIGINT AS vfp
+              FROM events
+            ),
+            ranked AS (
+              SELECT event_type, vfp,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY vfp, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM d
+            )
+            SELECT event_type,
+                   (sum(vfp) // count(*))::BIGINT AS median_fp,
+                   max(n)::BIGINT AS n_events
+            FROM ranked
+            WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+            GROUP BY event_type
+        """,
+        "q_pivot_events": """
+            SELECT date_trunc('day', ts) AS day,
+                   count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+                   count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+                   count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+                   count(*) FILTER (event_type = 'error')::BIGINT AS n_error
+            FROM events GROUP BY 1
         """,
         "q_distinct_counts": """
             SELECT event_type,
