@@ -95,6 +95,29 @@ _SQL_IVF_CELLS = (
     "SELECT greatest(16, cast(floor(sqrt(count(*))) AS BIGINT)) AS nc FROM embeddings"
 )
 
+# DuckDB twin of _ivf_ranked (shared by both IVF oracles — the quantizer
+# definition lives here and in _ivf_ranked only).
+_SQL_IVF_RANKED = f"""
+  ed AS (
+    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
+      SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+    )
+  ),
+  cents AS (
+    SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ed
+    WHERE vec_id < ({_SQL_IVF_CELLS})
+  ),
+  ranked AS (
+    SELECT e.vec_id, e.v, e.nrm, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY floor(list_dot_product(e.v, c.cv) /
+                     (e.nrm * c.cn) * 1000000.0)::BIGINT DESC,
+                      c.cid ASC) AS rn
+    FROM ed e CROSS JOIN cents c
+  )
+"""
+
 
 def _docs_with_planted_dups(spark, sf_dir: str) -> DataFrame:
     """documents plus planted near-duplicates (doc_id < 25 re-emitted as
@@ -739,7 +762,10 @@ def _q_embedding_ann_lsh(spark, sf_dir):
         F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(n_bits)
     )
-    ed = ed.withColumn("bkt", bkt.cast("int"))
+    # long, NOT int: _lsh_bits can legally reach 62 bits (the whole point
+    # of the corpus-size rule), and an int32 bucket would overflow at
+    # n_bits >= 32 — exactly the 10^11+-vector sizes the rule targets
+    ed = ed.withColumn("bkt", bkt.cast("long"))
     q = ed.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), "bkt",
@@ -832,8 +858,9 @@ def _q_embedding_neardup(spark, sf_dir):
         F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(n_bits)
     )
+    # long, not int — see the bucket-width note in _q_embedding_ann_lsh
     alle = alle.select(
-        "vec_id", "v", nrm.alias("nrm"), bkt.cast("int").alias("bkt")
+        "vec_id", "v", nrm.alias("nrm"), bkt.cast("long").alias("bkt")
     )
     a = alle.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                     F.col("nrm").alias("na"), "bkt")
@@ -873,7 +900,14 @@ def _ivf_sim(a, b, na, nb):
     return F.floor(dot / (F.col(na) * F.col(nb)) * F.lit(1000000.0)).cast("long")
 
 
-def _q_embedding_ann_ivf(spark, sf_dir):
+def _ivf_ranked(spark, sf_dir):
+    """Shared IVF coarse-quantizer assignment: every vector ranked
+    against the broadcast centroid table by fixed-point cosine (ties to
+    the lowest centroid id).  rn == 1 is a vector's index cell; rn <= p
+    are its p probe cells.  Both IVF queries (single- and multi-probe)
+    and both DuckDB oracles (_SQL_IVF_RANKED) build on this one
+    definition, so the quantizer rule lives in exactly two places
+    (Spark + SQL)."""
     e = _tbl(spark, sf_dir, "embeddings")
     n_cells = _ivf_cells(e.count())
     ed = _ed_with_norm(e)
@@ -884,11 +918,17 @@ def _q_embedding_ann_ivf(spark, sf_dir):
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("c_sim").desc(), F.col("cid").asc()
     )
-    assigned = (
+    return (
         ed.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", "nrm", "cid",
                 _ivf_sim("v", "cv", "nrm", "cn").alias("c_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
+    )
+
+
+def _q_embedding_ann_ivf(spark, sf_dir):
+    assigned = (
+        _ivf_ranked(spark, sf_dir)
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "nrm", F.col("cid").alias("cell"))
     )
@@ -924,22 +964,7 @@ def _q_embedding_ann_ivf(spark, sf_dir):
 # Plan shape is unchanged: the probe side fans out x4 before the same
 # cell equi-join; at scale both sides partition by cell.
 def _q_embedding_ann_ivf_mp(spark, sf_dir, nprobe: int = 4):
-    e = _tbl(spark, sf_dir, "embeddings")
-    n_cells = _ivf_cells(e.count())
-    ed = _ed_with_norm(e)
-    cents = ed.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("cid").asc()
-    )
-    ranked = (
-        ed.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "nrm", "cid",
-                _ivf_sim("v", "cv", "nrm", "cn").alias("c_sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-    )
+    ranked = _ivf_ranked(spark, sf_dir)
     probes = ranked.filter(F.col("rn") <= nprobe).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), F.col("cid").alias("cell"),
@@ -1323,11 +1348,16 @@ def _x_multimodal_features(spark, sf_dir):
 # outputs are pure deterministic functions of the input, so the oracle is
 # a PRECOMPUTED expected table produced by the single-process kernel
 # (tools/gen_expected.py).  DuckDB reads the committed parquet;
-# rows+schema+hash compare as for every other query.  The driver's
-# CORRECTNESS gate runs at sf0.01 (the default here); local harnesses
-# comparing at another sf set SPARK_GRAFT_ORACLE_SF (tools/
-# compare_oracle.py does).  tests/test_expected.py regenerates the files
-# on every run so they cannot go stale.
+# rows+schema+hash compare as for every other query.
+#
+# sf binding: oracle_sql() has no sf_dir parameter, so the expected-table
+# path is chosen by SPARK_GRAFT_ORACLE_SF, defaulting to sf0.01 — the
+# scale the driver's CORRECTNESS gate runs at.  Expected tables are
+# committed for ALL driver sf dirs (sf0.001 / sf0.01 / sf0.1); a harness
+# comparing at a non-default sf must set the env var (tools/
+# compare_oracle.py does) or the three x_* rows will fail on row count —
+# loudly, not silently wrong.  tests/test_expected.py regenerates every
+# committed table on each run so they cannot go stale.
 def _expected_sql(name: str) -> str:
     sf_name = os.path.basename(
         os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01").rstrip("/")
@@ -1614,25 +1644,9 @@ def oracle_sql() -> dict[str, str]:
                         (a.nrm * b.nrm) * 1000000.0) >= 999000
         """,
         "q_embedding_ann_ivf": f"""
-            WITH ed AS (
-              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
-                SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
-              )
-            ),
-            cents AS (
-              SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ed
-              WHERE vec_id < ({_SQL_IVF_CELLS})
-            ),
+            WITH {_SQL_IVF_RANKED},
             assigned AS (
-              SELECT vec_id, v, nrm, cid AS cell FROM (
-                SELECT e.vec_id, e.v, e.nrm, c.cid,
-                       row_number() OVER (
-                         PARTITION BY e.vec_id
-                         ORDER BY floor(list_dot_product(e.v, c.cv) /
-                                 (e.nrm * c.cn)
-                                 * 1000000.0)::BIGINT DESC, c.cid ASC) AS rn
-                FROM ed e CROSS JOIN cents c
-              ) WHERE rn = 1
+              SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rn = 1
             ),
             scored AS (
               SELECT q.vec_id AS query_id, q.cell, n.vec_id AS neighbor_id,
@@ -1649,24 +1663,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "q_embedding_ann_ivf_mp": f"""
-            WITH ed AS (
-              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
-                SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
-              )
-            ),
-            cents AS (
-              SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ed
-              WHERE vec_id < ({_SQL_IVF_CELLS})
-            ),
-            ranked AS (
-              SELECT e.vec_id, e.v, e.nrm, c.cid,
-                     row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY floor(list_dot_product(e.v, c.cv) /
-                               (e.nrm * c.cn)
-                               * 1000000.0)::BIGINT DESC, c.cid ASC) AS rn
-              FROM ed e CROSS JOIN cents c
-            ),
+            WITH {_SQL_IVF_RANKED},
             probes AS (
               SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cell
               FROM ranked WHERE rn <= 4

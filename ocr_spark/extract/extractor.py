@@ -56,8 +56,11 @@ _RE_NON_ALNUM_RUNS = re.compile(r"[^0-9A-Za-z]+")
 # Observability for the batched-kernel degrade path (G26 preserves
 # correctness, but a SYSTEMATIC batched-path bug would silently cost the
 # ~2.7x batching speedup everywhere): count every whole-batch fallback
-# per worker process and warn once.  The counter is surfaced to callers
-# (e.g. asserted zero in tests, readable from heartbeat logs).
+# and warn once.  Scope: the counter is per PROCESS — on the driver /
+# single-process oracle it is directly assertable (tests/
+# test_batch_parity.py pins it at zero over the fixture corpus); in a
+# distributed run each Python UDF worker warns once to its own stderr,
+# which Spark surfaces in executor logs.
 BATCH_FALLBACKS = 0
 
 
@@ -65,13 +68,18 @@ def note_batch_fallback(exc: BaseException) -> None:
     global BATCH_FALLBACKS
     BATCH_FALLBACKS += 1
     if BATCH_FALLBACKS == 1:
-        warnings.warn(
-            "batched extraction kernel failed for a whole batch "
-            f"({type(exc).__name__}: {exc}); degrading to the scalar "
-            "per-turn loop — correct but ~2.7x slower",
-            RuntimeWarning,
-            stacklevel=3,
-        )
+        try:
+            warnings.warn(
+                "batched extraction kernel failed for a whole batch "
+                f"({type(exc).__name__}: {exc}); degrading to the scalar "
+                "per-turn loop — correct but ~2.7x slower",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        except Exception:
+            # under PYTHONWARNINGS=error the warn itself raises; the
+            # fallback path must still run (G26), so never propagate
+            pass
 
 
 def _count_nonspace(s: str) -> int:

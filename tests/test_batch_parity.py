@@ -148,3 +148,23 @@ def test_threshold_batch_bitexact(turns):
         s = starts[i]
         assert np.array_equal(adaptive_candidates(q), got_a[s : s + lens[i]])
         assert otsu_split(q) == got_o[i]
+
+
+def test_no_batch_fallbacks_on_clean_corpus():
+    """The batched kernel must handle the whole fixture corpus without
+    ever degrading to the scalar loop (BATCH_FALLBACKS == 0), and the
+    warn-once fallback hook must never propagate even when warnings are
+    escalated to errors (G26)."""
+    import warnings
+
+    import ocr_spark.extract.extractor as ex
+    from fixtures.gen import gen_transcripts
+
+    before = ex.BATCH_FALLBACKS
+    ex.extract_frame(gen_transcripts(n_convs=40, seed=5))
+    assert ex.BATCH_FALLBACKS == before, "batched path silently degraded"
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # escalate ALL warnings
+        ex.note_batch_fallback(ValueError("synthetic"))  # must not raise
+    ex.BATCH_FALLBACKS = before  # restore for other tests
