@@ -1,0 +1,69 @@
+"""spark-submit streaming entrypoint — the continuous twin of
+jobs/extract.py.
+
+  spark-submit --py-files dist/ocr_spark.zip jobs/stream.py \
+      --input /path/transcripts-stream --output /path/extracted \
+      --checkpoint /path/ckpt [--mode extract|dedup|rate] \
+      [--drain] [--max-files-per-trigger N]
+
+Modes map to the streaming operators in ocr_spark/streaming/:
+  extract  stateless extraction (exactly-once via checkpoint + file sink)
+  dedup    exact dedup with watermark-bounded state
+  rate     watermarked event-time turn-rate windows
+
+`--drain` runs with availableNow=True (process the backlog, then exit —
+backfills and tests); without it the query tails the input forever.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="ocr_spark streaming extraction")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--mode", choices=("extract", "dedup", "rate"),
+                   default="extract")
+    p.add_argument("--drain", action="store_true")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from ocr_spark.plans.session import build_session
+    from ocr_spark.streaming import (
+        run_dedup_stream,
+        run_extract_stream,
+        run_turn_rate_stream,
+    )
+
+    spark = build_session(app_name=f"ocr_spark_stream_{args.mode}",
+                          master=args.master)
+    if args.mode == "extract":
+        q = run_extract_stream(
+            spark, args.input, args.output, args.checkpoint,
+            available_now=args.drain,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+    elif args.mode == "dedup":
+        q = run_dedup_stream(
+            spark, args.input, args.output, args.checkpoint,
+            available_now=args.drain,
+        )
+    else:
+        q = run_turn_rate_stream(
+            spark, args.input, args.output, args.checkpoint,
+            available_now=args.drain,
+        )
+    q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

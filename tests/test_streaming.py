@@ -199,3 +199,26 @@ def test_stream_dedup_within_watermark(spark, dirs):
                                          "unique C text"]
     # schema round-trips without the helper hash column
     assert "text_md5" not in out.columns
+
+
+def test_stream_cli_drain(spark, dirs, tmp_path):
+    """jobs/stream.py --drain processes a backlog end-to-end and exits.
+    Runs in a subprocess (own SparkSession; the pytest session holds the
+    process's only SparkContext, so a direct call would collide)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp, outp, ckpt = dirs
+    pdf = gen_transcripts(n_convs=10)
+    _write_batch(spark, pdf, inp)
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "stream.py"),
+         "--input", inp, "--output", outp, "--checkpoint", ckpt,
+         "--mode", "extract", "--drain", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    out = spark.read.parquet(outp)
+    assert out.count() == len(pdf)
