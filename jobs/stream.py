@@ -55,11 +55,13 @@ def main(argv: list[str] | None = None) -> int:
         q = run_dedup_stream(
             spark, args.input, args.output, args.checkpoint,
             available_now=args.drain,
+            max_files_per_trigger=args.max_files_per_trigger,
         )
     else:
         q = run_turn_rate_stream(
             spark, args.input, args.output, args.checkpoint,
             available_now=args.drain,
+            max_files_per_trigger=args.max_files_per_trigger,
         )
     q.awaitTermination()
     return 0

@@ -121,6 +121,32 @@ def stable_order(df: DataFrame) -> DataFrame:
     return df.withColumn("turn_rank", F.row_number().over(w))
 
 
+def _salted_shuffle(
+    df: DataFrame,
+    salt_hot: bool,
+    slice_turns: int,
+    num_partitions: int | None,
+) -> DataFrame:
+    """The ONE wide op, shared by plan_extract and run_extract so the
+    batch and resume paths cannot drift: slice salt -> repartition on
+    (bucket, salt) -> per-partition sort.
+
+    Sort BEFORE the UDF: mapInPandas preserves per-partition row order,
+    so sorting the (slim) input rows gives ordered output for free —
+    sorting the output would re-sort fat extracted_text+spans rows.
+    """
+    s = (
+        with_slice_salt(df, slice_turns)
+        if salt_hot
+        else df.withColumn("salt", F.lit(0))
+    )
+    return s.repartition(
+        num_partitions or _udf_stage_partitions(df),
+        F.col("bucket"),
+        F.col("salt"),
+    ).sortWithinPartitions("conv_id", "turn_idx")
+
+
 def plan_extract(
     df: DataFrame,
     n_buckets: int = DEFAULT_N_BUCKETS,
@@ -132,19 +158,7 @@ def plan_extract(
     bucket -> slice salt -> repartition -> mapInPandas -> per-partition
     sort.  The input is scanned exactly once when the plan executes."""
     b = with_bucket(df, n_buckets)
-    s = (
-        with_slice_salt(b, slice_turns)
-        if salt_hot
-        else b.withColumn("salt", F.lit(0))
-    )
-    shuffled = s.repartition(
-        num_partitions or _udf_stage_partitions(df), F.col("bucket"), F.col("salt")
-    )
-    # Sort BEFORE the UDF: mapInPandas preserves per-partition row order,
-    # so sorting the (slim) input rows gives ordered output for free —
-    # sorting the output would re-sort fat extracted_text+spans rows.
-    shuffled = shuffled.sortWithinPartitions("conv_id", "turn_idx")
-    out = extract_turns(shuffled)
+    out = extract_turns(_salted_shuffle(b, salt_hot, slice_turns, num_partitions))
     return out.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
     )
@@ -172,14 +186,7 @@ def run_extract(
             # resume anti-join (K3): pending = input \ completed buckets
             df = df.join(F.broadcast(done), "bucket", "left_anti")
 
-    s = (
-        with_slice_salt(df, slice_turns)
-        if salt_hot
-        else df.withColumn("salt", F.lit(0))
-    )
-    shuffled = s.repartition(
-        num_partitions or _udf_stage_partitions(df), F.col("bucket"), F.col("salt")
-    ).sortWithinPartitions("conv_id", "turn_idx")
+    shuffled = _salted_shuffle(df, salt_hot, slice_turns, num_partitions)
     out = extract_turns(shuffled).withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
     )

@@ -63,24 +63,25 @@ def derive_transcripts_pandas(sf_dir: str, turns_per_doc: int = 4):
         flavor = (docs.doc_id + t) % 4
         txt = docs.text
         payload = pd.Series(index=docs.index, dtype=object)
-        payload[flavor == 0] = (
+        # each template is built ONLY from its flavor's rows (building
+        # all four over the full corpus and masking after would do 4x
+        # the string work — this function backs the bench hw ceiling)
+        m0, m1 = flavor == 0, flavor == 1
+        m2, m3 = flavor == 2, flavor == 3
+        payload[m0] = (
             '<nav><a href="/home">Home</a> <a href="/about">About</a> '
             '<a href="/pricing">Pricing</a> <a href="/blog">Blog</a></nav>'
-            "<p>" + txt + "</p>"
+            "<p>" + txt[m0] + "</p>"
             '<footer>Copyright 2024 <a href="/tos">Terms</a> '
             '<a href="/privacy">Privacy</a></footer>'
-        )[flavor == 0]
-        payload[flavor == 1] = (
-            "                    SECTION " + docs.doc_id.astype(str)
-            + "\n\n    " + txt.str.replace(". ", ".\n    ", regex=False)
+        )
+        payload[m1] = (
+            "                    SECTION " + docs.doc_id[m1].astype(str)
+            + "\n\n    " + txt[m1].str.replace(". ", ".\n    ", regex=False)
             + "\n\n                              Page 1"
-        )[flavor == 1]
-        payload[flavor == 2] = txt.str.replace(". ", ".\n\n", regex=False)[
-            flavor == 2
-        ]
-        payload[flavor == 3] = ('{"status": "ok", "result": "' + txt + '"}')[
-            flavor == 3
-        ]
+        )
+        payload[m2] = txt[m2].str.replace(". ", ".\n\n", regex=False)
+        payload[m3] = '{"status": "ok", "result": "' + txt[m3] + '"}'
         frames.append(
             pd.DataFrame(
                 {

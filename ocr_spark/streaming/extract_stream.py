@@ -47,6 +47,7 @@ def run_turn_rate_stream(
     available_now: bool = False,
     watermark: str = "30 minutes",
     window: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stateful streaming aggregation with late-data handling: turns per
     (event-time window, role), watermarked.
@@ -60,7 +61,7 @@ def run_turn_rate_stream(
     """
     import pyspark.sql.functions as F
 
-    turns = stream_transcripts(spark, input_path)
+    turns = stream_transcripts(spark, input_path, max_files_per_trigger)
     agg = (
         turns.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "role")
@@ -112,6 +113,7 @@ def run_dedup_stream(
     checkpoint_path: str,
     available_now: bool = False,
     watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Streaming exact dedup (P1's continuous twin): drop turns whose
     payload hash was already seen within the watermark horizon.
@@ -123,12 +125,19 @@ def run_dedup_stream(
     separated by more than the horizon are deliberately kept (the batch
     exact-dedup pass downstream owns cross-horizon dedup; typical
     crawl/ingest duplicates cluster tightly in time).
+
+    NULL-text turns are NOT duplicates of each other (a missing payload
+    is not a repeated payload): they get a per-row key and always pass
+    through.  Empty-string payloads DO dedup against each other.
     """
     import pyspark.sql.functions as F
 
-    turns = stream_transcripts(spark, input_path)
+    turns = stream_transcripts(spark, input_path, max_files_per_trigger)
+    dedup_key = F.when(
+        F.col("text").isNotNull(), F.md5("text")
+    ).otherwise(F.concat_ws("#", F.lit("null"), "conv_id", "turn_idx"))
     deduped = (
-        turns.withColumn("text_md5", F.md5(F.coalesce("text", F.lit(""))))
+        turns.withColumn("text_md5", dedup_key)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["text_md5"])
         .drop("text_md5")

@@ -177,14 +177,17 @@ def test_stream_dedup_within_watermark(spark, dirs):
     base = pd.Timestamp("2024-01-01 00:00:00")
     pdf = pd.DataFrame(
         {
-            "conv_id": [f"c{i}" for i in range(6)],
-            "turn_idx": [0] * 6,
-            "role": ["user"] * 6,
-            # three distinct payloads, each duplicated once within minutes
+            "conv_id": [f"c{i}" for i in range(9)],
+            "turn_idx": [0] * 9,
+            "role": ["user"] * 9,
+            # three distinct payloads each duplicated once within minutes,
+            # two NULL-payload turns (NOT duplicates of each other), one
+            # empty-string turn
             "text": ["dup A text", "dup A text", "dup B text",
-                     "dup B text", "unique C text", "unique C text"],
-            "tool": [""] * 6,
-            "ts": [base + pd.Timedelta(minutes=m) for m in range(6)],
+                     "dup B text", "unique C text", "unique C text",
+                     None, None, ""],
+            "tool": [""] * 9,
+            "ts": [base + pd.Timedelta(minutes=m) for m in range(9)],
         }
     )
     _write_batch(spark, pdf, inp)
@@ -193,10 +196,13 @@ def test_stream_dedup_within_watermark(spark, dirs):
     assert not q.isActive
 
     out = spark.read.parquet(outp).toPandas()
-    # one survivor per distinct payload
-    assert len(out) == 3
-    assert sorted(out.text.unique()) == ["dup A text", "dup B text",
-                                         "unique C text"]
+    # one survivor per distinct payload + BOTH null-text turns + the
+    # empty-string turn (a missing payload is not a repeated payload)
+    assert len(out) == 6
+    assert sorted(out.text.dropna().unique()) == ["", "dup A text",
+                                                  "dup B text",
+                                                  "unique C text"]
+    assert out.text.isna().sum() == 2
     # schema round-trips without the helper hash column
     assert "text_md5" not in out.columns
 
