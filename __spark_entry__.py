@@ -179,6 +179,48 @@ _SQL_SHINGLE_FPS = _SQL_ALLD + """,
 """
 
 
+# Full MinHash+LSH near-dup query in DuckDB (module-level so the dedup-
+# clustering oracle can nest it as its pair source).
+_SQL_MINHASH_LSH = f"""
+    WITH {_SQL_SHINGLE_FPS},
+    ks AS (
+      SELECT doc_id, fp, unnest([0,1,2,3,4,5,6,7]) AS k FROM fps
+    ),
+    h AS (
+      SELECT doc_id, k,
+             ({_MINHASH_A}[k+1] * fp + {_MINHASH_B}[k+1]) % {_M31} AS h
+      FROM ks
+    ),
+    sig AS (SELECT doc_id, k, min(h) AS mh FROM h GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, k // 2 AS band,
+             min(CASE WHEN k % 2 = 0 THEN mh END) AS mh0,
+             min(CASE WHEN k % 2 = 1 THEN mh END) AS mh1
+      FROM sig GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
+       AND a.doc_id < b.doc_id
+    ),
+    n AS (SELECT doc_id, count(*) AS n_sh FROM fps GROUP BY 1),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*)::DOUBLE AS shared
+      FROM cand c
+      JOIN fps fa ON fa.doc_id = c.doc_a
+      JOIN fps fb ON fb.doc_id = c.doc_b AND fb.fp = fa.fp
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           floor(shared * 1000000.0 / (na.n_sh + nb.n_sh - shared))::BIGINT AS jaccard_fp
+    FROM shared
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE floor(shared * 1000000.0 / (na.n_sh + nb.n_sh - shared)) >= 500000
+"""
+
+
 def _shingle_fps64(alld: DataFrame) -> DataFrame:
     """(doc_id, fp): full 60-bit md5-prefix fingerprint of each distinct
     word-3-gram shingle (NO mod-M31 reduction — the SimHash family needs
@@ -277,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,
         "q_simhash_neardup": _q_simhash_neardup,
         "q_doc_fingerprint": _q_doc_fingerprint,
+        "q_dedup_clusters": _q_dedup_clusters,
         # --- similarity search ----------------------------------------------
         "q_embedding_topk": _q_embedding_topk,
         "q_embedding_ann_lsh": _q_embedding_ann_lsh,
@@ -729,6 +772,55 @@ def _q_simhash_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# Dedup clustering: connected components over the MinHash near-dup pair
+# graph — the pipeline stage AFTER pair generation that picks one
+# canonical keeper per duplicate cluster (component_id = min doc_id in
+# the component).  Spark side: iterative min-label propagation over the
+# edge list until fixpoint — the standard Pregel-style loop; each round
+# is one join + one aggregation, iteration count = graph diameter (tiny
+# for near-dup clusters, which are dense).  The driver-side work per
+# round is ONE metadata count (the convergence check), never data.
+# Oracle: DuckDB recursive CTE computing min reachable label (UNION set
+# semantics terminate it).  Non-SQL-expressible in one Spark query, yet
+# still fully hash-verified — the loop is deterministic.
+def _q_dedup_clusters(spark, sf_dir):
+    pairs = _q_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .persist()
+    )
+    edges.count()  # materialize once; the loop reuses the cached edges
+    while True:
+        nbr = edges.join(
+            labels.withColumnRenamed("doc_id", "dst"), "dst"
+        ).select(F.col("src").alias("doc_id"), "lab")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("lab").alias("lab"))
+            .persist()
+        )
+        changed = (
+            labels.withColumnRenamed("lab", "old_lab")
+            .join(new_labels, "doc_id")
+            .filter(F.col("old_lab") != F.col("lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("lab").alias("component_id"))
 
 
 # Document fingerprint: bottom-4 MinHash sketch (k smallest shingle
@@ -1505,43 +1597,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN n nb ON nb.doc_id = doc_b
             WHERE floor(shared * 1000000.0 / (na.n_sh + nb.n_sh - shared)) >= 500000
         """,
-        "q_minhash_lsh": f"""
-            WITH {_SQL_SHINGLE_FPS},
-            ks AS (
-              SELECT doc_id, fp, unnest([0,1,2,3,4,5,6,7]) AS k FROM fps
+        "q_minhash_lsh": _SQL_MINHASH_LSH,
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT doc_a, doc_b FROM ({_SQL_MINHASH_LSH}) mh
             ),
-            h AS (
-              SELECT doc_id, k,
-                     ({_MINHASH_A}[k+1] * fp + {_MINHASH_B}[k+1]) % {_M31} AS h
-              FROM ks
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
             ),
-            sig AS (SELECT doc_id, k, min(h) AS mh FROM h GROUP BY 1, 2),
-            bands AS (
-              SELECT doc_id, k // 2 AS band,
-                     min(CASE WHEN k % 2 = 0 THEN mh END) AS mh0,
-                     min(CASE WHEN k % 2 = 1 THEN mh END) AS mh1
-              FROM sig GROUP BY 1, 2
-            ),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.mh0 = b.mh0 AND a.mh1 = b.mh1
-               AND a.doc_id < b.doc_id
-            ),
-            n AS (SELECT doc_id, count(*) AS n_sh FROM fps GROUP BY 1),
-            shared AS (
-              SELECT c.doc_a, c.doc_b, count(*)::DOUBLE AS shared
-              FROM cand c
-              JOIN fps fa ON fa.doc_id = c.doc_a
-              JOIN fps fb ON fb.doc_id = c.doc_b AND fb.fp = fa.fp
-              GROUP BY 1, 2
+            nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+            reach(doc_id, lab) AS (
+              SELECT doc_id, doc_id FROM nodes
+              UNION
+              SELECT e.src, r.lab
+              FROM reach r JOIN edges e ON e.dst = r.doc_id
             )
-            SELECT doc_a, doc_b,
-                   floor(shared * 1000000.0 / (na.n_sh + nb.n_sh - shared))::BIGINT AS jaccard_fp
-            FROM shared
-            JOIN n na ON na.doc_id = doc_a
-            JOIN n nb ON nb.doc_id = doc_b
-            WHERE floor(shared * 1000000.0 / (na.n_sh + nb.n_sh - shared)) >= 500000
+            SELECT doc_id, min(lab) AS component_id
+            FROM reach GROUP BY doc_id
         """,
         "q_simhash": f"""
             WITH {_SQL_SHINGLE_FPS64},
