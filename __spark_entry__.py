@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- extraction/multimodal pipelines (precomputed-table oracles) ---
         "x_extract_documents": _x_extract_documents,
         "x_extract_transcripts": _x_extract_transcripts,
+        "x_conv_assembly": _x_conv_assembly,
         "x_multimodal_features": _x_multimodal_features,
     }
 
@@ -1407,6 +1408,20 @@ def _x_extract_transcripts(spark, sf_dir):
     )
 
 
+# Conversation assembly (grouped-map surface): extraction pipeline ->
+# applyInPandas over conv_id stitching turn-ordered documents.  Oracle:
+# string_agg(ORDER BY turn_idx) over the precomputed expected extraction
+# table — SQL can't express the extraction, but it CAN express the
+# assembly on top of the expected table, so the whole chain hash-gates.
+def _x_conv_assembly(spark, sf_dir):
+    from ocr_spark.operators.assemble import assemble_conversations
+    from ocr_spark.plans.extract_job import plan_extract
+    from ocr_spark.sources.transcripts import derive_transcripts_from_documents
+
+    tr = derive_transcripts_from_documents(spark, sf_dir)
+    return assemble_conversations(plan_extract(tr, n_buckets=16))
+
+
 # Multimodal binary-column plumbing (payload = utf-8 bytes as media
 # stand-in; codec decode stubbed behind deterministic fake features, the
 # real-decode seam lives in q_image_decode / decode_media_real — see
@@ -1450,14 +1465,18 @@ def _x_multimodal_features(spark, sf_dir):
 # compare_oracle.py does) or the three x_* rows will fail on row count —
 # loudly, not silently wrong.  tests/test_expected.py regenerates every
 # committed table on each run so they cannot go stale.
-def _expected_sql(name: str) -> str:
+def _expected_path(name: str) -> str:
     sf_name = os.path.basename(
         os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01").rstrip("/")
     )
     d = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tests", "expected", sf_name
     )
-    return f"SELECT * FROM read_parquet('{d}/{name}.parquet')"
+    return f"{d}/{name}.parquet"
+
+
+def _expected_sql(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{_expected_path(name)}')"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1465,6 +1484,16 @@ def oracle_sql() -> dict[str, str]:
         "x_extract_documents": _expected_sql("x_extract_documents"),
         "x_extract_transcripts": _expected_sql("x_extract_transcripts"),
         "x_multimodal_features": _expected_sql("x_multimodal_features"),
+        # assembly = SQL over the expected extraction table: the chain
+        # extraction -> grouped-map assembly is hash-gated end to end
+        "x_conv_assembly": f"""
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   string_agg(extracted_text, chr(10) || chr(10)
+                              ORDER BY turn_idx) AS doc_text
+            FROM read_parquet('{_expected_path("x_extract_transcripts")}')
+            GROUP BY conv_id
+        """,
         "q_canonicalize": """
             SELECT doc_id,
                    trim(regexp_replace('  ' || text || ' \t mid  part' || chr(10) || chr(10) || 'end  ',
