@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_ann_ivf_mp": _q_embedding_ann_ivf_mp,
         # --- relational operator coverage (SURVEY §2.6/2.7/2.8) ------------
         "q_agg_orders": _q_agg_orders,
+        "q_lineitem_pricing": _q_lineitem_pricing,
+        "q_regional_revenue": _q_regional_revenue,
         "q_rollup_orders": _q_rollup_orders,
         "q_join_broadcast": _q_join_broadcast,
         "q_anti_join": _q_anti_join,
@@ -1081,6 +1083,53 @@ def _q_embedding_ann_ivf_mp(spark, sf_dir, nprobe: int = 4):
     )
 
 
+# TPC-H Q1 shape over the lineitem fact table: pushdown-friendly date
+# filter + hash aggregate.  Every measure is fixed-pointed PER ROW before
+# summation, so the aggregate is pure integer arithmetic — deterministic
+# under any partitioning (summing raw doubles is ordering-dependent at
+# the ulp and can flip a floor() at the boundary).
+def _q_lineitem_pricing(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("l_quantity") * F.lit(100.0))).cast("long").alias("sum_qty_fp"),
+        F.sum(F.floor(F.col("l_extendedprice") * F.lit(100.0))).cast("long").alias("sum_base_fp"),
+        F.sum(F.floor(disc_price * F.lit(100.0))).cast("long").alias("sum_disc_fp"),
+    )
+
+
+# TPC-H Q5 shape: 6-table join (lineitem-orders-customer-supplier-nation-
+# region) with the local-supplier predicate, revenue per (region, nation).
+# Plan story: region/nation/supplier/customer broadcast (small dims), the
+# two fact tables shuffle-join on orderkey; Catalyst orders the chain.
+def _q_regional_revenue(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("long").alias("revenue_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
 # A5/A1 analogue: hash aggregate with multiple measures.
 def _q_agg_orders(spark, sf_dir):
     o = _tbl(spark, sf_dir, "orders")
@@ -1806,6 +1855,28 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY sim_fp DESC, neighbor_id ASC) AS rnk
               FROM scored
             ) WHERE rnk <= 5
+        """,
+        "q_lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*)::BIGINT AS n_rows,
+                   sum(floor(l_quantity * 100.0))::BIGINT AS sum_qty_fp,
+                   sum(floor(l_extendedprice * 100.0))::BIGINT AS sum_base_fp,
+                   sum(floor(l_extendedprice * (1.0 - l_discount) * 100.0))::BIGINT AS sum_disc_fp
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "q_regional_revenue": """
+            SELECT r_name, n_name,
+                   sum(floor(l_extendedprice * (1.0 - l_discount) * 100.0))::BIGINT AS revenue_fp,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
         """,
         "q_agg_orders": """
             SELECT o_orderstatus,
