@@ -788,7 +788,21 @@ def _q_simhash_neardup(spark, sf_dir):
 # Oracle: DuckDB recursive CTE computing min reachable label (UNION set
 # semantics terminate it).  Non-SQL-expressible in one Spark query, yet
 # still fully hash-verified — the loop is deterministic.
+#
+# Caching contract: the converged labels MUST stay persisted (the loop
+# lineage references unpersisted intermediates; recomputing it from
+# scratch is exponential in rounds), so each invocation releases the
+# previous invocation's cache — at most ONE label set (tiny: one row per
+# doc in a dup pair) stays pinned per session, instead of one per bench
+# rep.  At production scale the loop writes each round to a table and
+# this is moot.
+_CLUSTER_LABEL_CACHE: list = []
+
+
 def _q_dedup_clusters(spark, sf_dir):
+    for prev in _CLUSTER_LABEL_CACHE:
+        prev.unpersist()
+    _CLUSTER_LABEL_CACHE.clear()
     pairs = _q_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -823,6 +837,7 @@ def _q_dedup_clusters(spark, sf_dir):
         if changed == 0:
             break
     edges.unpersist()
+    _CLUSTER_LABEL_CACHE.append(labels)
     return labels.select("doc_id", F.col("lab").alias("component_id"))
 
 
@@ -1103,8 +1118,11 @@ def _q_lineitem_pricing(spark, sf_dir):
 
 # TPC-H Q5 shape: 6-table join (lineitem-orders-customer-supplier-nation-
 # region) with the local-supplier predicate, revenue per (region, nation).
-# Plan story: region/nation/supplier/customer broadcast (small dims), the
-# two fact tables shuffle-join on orderkey; Catalyst orders the chain.
+# Plan story: nation/region carry explicit broadcast hints (fixed 25/5
+# rows at ANY sf); customer/supplier scale with sf, so Catalyst decides
+# via autoBroadcastJoinThreshold (a forced hint would build an unbounded
+# broadcast table at large sf); the two fact tables shuffle-join on
+# orderkey, and AQE reorders/skew-splits at runtime.
 def _q_regional_revenue(spark, sf_dir):
     li = _tbl(spark, sf_dir, "lineitem")
     o = _tbl(spark, sf_dir, "orders")
@@ -1117,8 +1135,8 @@ def _q_regional_revenue(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -1511,9 +1529,12 @@ def _x_multimodal_features(spark, sf_dir):
 # scale the driver's CORRECTNESS gate runs at.  Expected tables are
 # committed for ALL driver sf dirs (sf0.001 / sf0.01 / sf0.1); a harness
 # comparing at a non-default sf must set the env var (tools/
-# compare_oracle.py does) or the three x_* rows will fail on row count —
-# loudly, not silently wrong.  tests/test_expected.py regenerates every
-# committed table on each run so they cannot go stale.
+# compare_oracle.py does) or the four expected-table-backed rows
+# (x_extract_documents / x_extract_transcripts / x_multimodal_features /
+# x_conv_assembly, whose oracle reads the x_extract_transcripts table)
+# will fail on row count — loudly, not silently wrong.
+# tests/test_expected.py regenerates every committed table on each run
+# so they cannot go stale.
 def _expected_path(name: str) -> str:
     sf_name = os.path.basename(
         os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01").rstrip("/")

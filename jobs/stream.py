@@ -32,7 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mode", choices=("extract", "dedup", "rate"),
                    default="extract")
     p.add_argument("--drain", action="store_true")
-    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n <= 0:
+            raise argparse.ArgumentTypeError("must be a positive integer")
+        return n
+
+    p.add_argument("--max-files-per-trigger", type=_positive_int, default=None)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -45,21 +51,26 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name=f"ocr_spark_stream_{args.mode}",
                           master=args.master)
+    # Per-mode checkpoint subdir: the file-source offset log is specific
+    # to one query shape; reusing a checkpoint across modes would make
+    # the new mode see every input file as already committed and silently
+    # emit nothing.  Same-mode reuse stays the legitimate resume path.
+    ckpt = os.path.join(args.checkpoint, args.mode)
     if args.mode == "extract":
         q = run_extract_stream(
-            spark, args.input, args.output, args.checkpoint,
+            spark, args.input, args.output, ckpt,
             available_now=args.drain,
             max_files_per_trigger=args.max_files_per_trigger,
         )
     elif args.mode == "dedup":
         q = run_dedup_stream(
-            spark, args.input, args.output, args.checkpoint,
+            spark, args.input, args.output, ckpt,
             available_now=args.drain,
             max_files_per_trigger=args.max_files_per_trigger,
         )
     else:
         q = run_turn_rate_stream(
-            spark, args.input, args.output, args.checkpoint,
+            spark, args.input, args.output, ckpt,
             available_now=args.drain,
             max_files_per_trigger=args.max_files_per_trigger,
         )

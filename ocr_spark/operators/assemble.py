@@ -51,10 +51,11 @@ def assemble_conversations(extracted: DataFrame) -> DataFrame:
     width to 2x cores."""
     import pyspark.sql.functions as F
 
+    from ocr_spark.plans.extract_job import _udf_stage_partitions
+
     pruned = extracted.select("conv_id", "turn_idx", "extracted_text")
-    n_parts = extracted.sparkSession.sparkContext.defaultParallelism * 2
     return (
-        pruned.repartition(n_parts, F.col("conv_id"))
+        pruned.repartition(_udf_stage_partitions(extracted), F.col("conv_id"))
         .groupBy("conv_id")
         .applyInPandas(_assemble_group, schema=ASSEMBLY_SCHEMA_DDL)
     )

@@ -34,7 +34,11 @@ def stream_transcripts(
     """S1 streaming twin: a file-arrival stream of transcript parquet.
     Schema must be declared for streaming sources (no inference)."""
     reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger <= 0:
+            raise ValueError(
+                f"max_files_per_trigger must be positive, got {max_files_per_trigger}"
+            )
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(input_path)
 
