@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_neardup": _q_simhash_neardup,
         "q_doc_fingerprint": _q_doc_fingerprint,
         "q_dedup_clusters": _q_dedup_clusters,
+        "q_countmin_sketch": _q_countmin_sketch,
         # --- similarity search ----------------------------------------------
         "q_embedding_topk": _q_embedding_topk,
         "q_embedding_ann_lsh": _q_embedding_ann_lsh,
@@ -839,6 +840,46 @@ def _q_dedup_clusters(spark, sf_dir):
     edges.unpersist()
     _CLUSTER_LABEL_CACHE.append(labels)
     return labels.select("doc_id", F.col("lab").alias("component_id"))
+
+
+# Count-Min sketch of the corpus word-frequency distribution: 4 hash
+# rows x 256 columns, cell (r, c) = total occurrences of words whose
+# r-th hash lands in column c.  The sketch build is ONE explode + ONE
+# hash aggregate per row — the mergeable, fixed-size summary a streaming
+# or federated frequency estimator needs at 100 TB (estimate(word) =
+# min over rows of its 4 cells; overestimates only, never under).
+# Hashing is the cross-engine md5 fingerprint with per-row salts, so
+# both engines build the identical sketch.
+_CM_ROWS = 4
+_CM_COLS = 256
+
+
+def _q_countmin_sketch(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    words = d.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ")
+        ).alias("w")
+    ).filter(F.length("w") > 0)
+    rows = []
+    for r in range(_CM_ROWS):
+        col = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), F.col("w"))), 1, 15),
+                16, 10,
+            ).cast("long") % F.lit(_CM_COLS)
+        )
+        rows.append(
+            words.select(F.lit(r).cast("long").alias("row_id"),
+                         col.alias("col_id"))
+        )
+    allrows = rows[0]
+    for rdf in rows[1:]:
+        allrows = allrows.unionByName(rdf)
+    return allrows.groupBy("row_id", "col_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
 
 
 # Document fingerprint: bottom-4 MinHash sketch (k smallest shingle
@@ -1660,6 +1701,24 @@ def oracle_sql() -> dict[str, str]:
                                                  tf.w ASC) AS rnk
               FROM tf JOIN df ON tf.w = df.w
             ) WHERE rnk <= 3
+        """,
+        "q_countmin_sketch": f"""
+            WITH words AS (
+              SELECT w FROM (
+                SELECT unnest(string_split(trim(regexp_replace(
+                  lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                  ' +', ' ', 'g')), ' ')) AS w
+                FROM documents
+              ) WHERE length(w) > 0
+            ),
+            hashed AS (
+              SELECT r AS row_id,
+                     ('0x' || substr(md5('cm' || r || ':' || w), 1, 15))::BIGINT
+                       % {_CM_COLS} AS col_id
+              FROM words, (SELECT unnest(range({_CM_ROWS})) AS r)
+            )
+            SELECT row_id::BIGINT AS row_id, col_id, count(*)::BIGINT AS cnt
+            FROM hashed GROUP BY 1, 2
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_md5,
