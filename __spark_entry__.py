@@ -50,13 +50,45 @@ _MINHASH_B = [1, 2, 3, 4, 5, 6, 7, 8]
 # Sign-LSH: bucket count must grow with the corpus or intra-bucket exact
 # search turns quadratic (N^2 / 2^bits).  Rule: 2^bits ~= N / TARGET, i.e.
 # bits = ceil(log2(N / TARGET)), floored at 6 (sandbox floor) and capped at
-# 62 (int64 bucket key).  Both engines derive bits from count(*) of the
-# same table, so plans stay deterministic and identical.
+# 62 (int64 bucket key).  N comes from parquet FOOTER metadata (below) and
+# the parameter is derived ONCE in Python integer arithmetic, then injected
+# into both engines as a literal — no per-query count() job, and no float
+# libm (ceil/log2/sqrt) recomputation that could disagree across engines
+# at boundary N.
 _LSH_TARGET_BUCKET = 64
 
 
 def _lsh_bits(n_rows: int) -> int:
-    return max(6, min(62, math.ceil(math.log2(max(n_rows, 1) / float(_LSH_TARGET_BUCKET)))))
+    # integer-exact ceil(log2(n/64)): bit_length of (ceil(n/64) - 1)
+    q = (max(n_rows, 1) + _LSH_TARGET_BUCKET - 1) // _LSH_TARGET_BUCKET
+    return max(6, min(62, (q - 1).bit_length()))
+
+
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _emb_count(sf_dir: str) -> int:
+    """Row count of the embeddings table read from the parquet FOOTER
+    metadata — no Spark job, no data scan; cached per path.  This is the
+    sandbox stand-in for Iceberg snapshot statistics (total-records) at
+    production scale: the ANN parameter rules need N, never the rows."""
+    path = f"{sf_dir}/embeddings.parquet"
+    n = _EMB_COUNT_CACHE.get(path)
+    if n is None:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(path).metadata.num_rows
+        _EMB_COUNT_CACHE[path] = n
+    return n
+
+
+def _oracle_sf_dir() -> str:
+    """The sf dir the DuckDB oracles bind to (same env contract as
+    _expected_path): SPARK_GRAFT_ORACLE_SF holds either a bare sf name
+    (driver default, tables under /root/testdata) or a full dir path
+    (tools/compare_oracle.py)."""
+    v = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01").rstrip("/")
+    return v if os.sep in v else os.path.join("/root/testdata", v)
 
 
 def _ed_with_norm(e: DataFrame) -> DataFrame:
@@ -75,29 +107,23 @@ def _ed_with_norm(e: DataFrame) -> DataFrame:
     return ed.select("vec_id", "v", nrm.alias("nrm"))
 
 
-# DuckDB twin of _lsh_bits, as a scalar CTE (identical formula; log2/ceil
-# on IEEE doubles agree across engines for these inputs).
-_SQL_LSH_BITS = (
-    "SELECT greatest(6, least(62, cast(ceil(log2(count(*) / 64.0)) AS INT))) AS nb"
-    " FROM embeddings"
-)
-
-
 def _ivf_cells(n_rows: int) -> int:
     """IVF coarse-quantizer size: the standard sqrt(N) rule (cells ~ √N
     balances cell-assignment cost N*C against intra-cell search N^2/C;
     see e.g. the FAISS IVF guidelines).  Floor 16 keeps the sandbox
-    behavior; isqrt == floor(sqrt) for all non-boundary N."""
+    behavior; math.isqrt is exact integer arithmetic (no libm sqrt whose
+    rounding could disagree with an engine's floor(sqrt()) at large
+    perfect squares)."""
     return max(16, math.isqrt(max(n_rows, 0)))
 
 
-_SQL_IVF_CELLS = (
-    "SELECT greatest(16, cast(floor(sqrt(count(*))) AS BIGINT)) AS nc FROM embeddings"
-)
-
-# DuckDB twin of _ivf_ranked (shared by both IVF oracles — the quantizer
-# definition lives here and in _ivf_ranked only).
-_SQL_IVF_RANKED = f"""
+def _sql_ivf_ranked(nc: int) -> str:
+    """DuckDB twin of _ivf_ranked (shared by both IVF oracles — the
+    quantizer definition lives here and in _ivf_ranked only).  `nc` is
+    the Python-derived integer cell count, injected as a literal so both
+    engines share ONE parameter derivation (no cross-engine float
+    ceil/sqrt recomputation)."""
+    return f"""
   ed AS (
     SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
       SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
@@ -105,7 +131,7 @@ _SQL_IVF_RANKED = f"""
   ),
   cents AS (
     SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ed
-    WHERE vec_id < ({_SQL_IVF_CELLS})
+    WHERE vec_id < {nc}
   ),
   ranked AS (
     SELECT e.vec_id, e.v, e.nrm, c.cid,
@@ -802,7 +828,13 @@ _CLUSTER_LABEL_CACHE: list = []
 
 def _q_dedup_clusters(spark, sf_dir):
     for prev in _CLUSTER_LABEL_CACHE:
-        prev.unpersist()
+        # best-effort release: if the SparkSession that created the
+        # cached labels has been stopped, unpersist raises — the cache
+        # entry is garbage either way, so never let it fail the query
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
     _CLUSTER_LABEL_CACHE.clear()
     pairs = _q_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(
@@ -862,23 +894,26 @@ def _q_countmin_sketch(spark, sf_dir):
             F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ")
         ).alias("w")
     ).filter(F.length("w") > 0)
-    rows = []
-    for r in range(_CM_ROWS):
-        col = (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), F.col("w"))), 1, 15),
-                16, 10,
-            ).cast("long") % F.lit(_CM_COLS)
-        )
-        rows.append(
-            words.select(F.lit(r).cast("long").alias("row_id"),
-                         col.alias("col_id"))
-        )
-    allrows = rows[0]
-    for rdf in rows[1:]:
-        allrows = allrows.unionByName(rdf)
-    return allrows.groupBy("row_id", "col_id").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # ONE pass over the words subtree: each word explodes into its
+    # _CM_ROWS (row_id, col_id) cells in place.  The previous 4-way
+    # unionByName re-ran the canonicalize-regex + explode once per sketch
+    # row (4x corpus scan at 100 TB — the branches differed only in the
+    # salt literal, so no exchange reuse applied).
+    cell = lambda r: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), F.col("w"))), 1, 15),
+            16, 10,
+        ).cast("long") % F.lit(_CM_COLS)
+    )
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("long").alias("row_id"), cell(r).alias("col_id"))
+        for r in range(_CM_ROWS)
+    ])
+    return (
+        words.select(F.explode(cells).alias("c"))
+        .select("c.row_id", "c.col_id")
+        .groupBy("row_id", "col_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
 
@@ -907,7 +942,7 @@ def _q_doc_fingerprint(spark, sf_dir):
 # hyperplanes (dot-product signs) — same plan shape, same join.
 def _q_embedding_ann_lsh(spark, sf_dir):
     e = _tbl(spark, sf_dir, "embeddings")
-    n_bits = _lsh_bits(e.count())
+    n_bits = _lsh_bits(_emb_count(sf_dir))
     ed = _ed_with_norm(e)
     bkt = sum(
         F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -994,7 +1029,7 @@ def _q_embedding_topk(spark, sf_dir):
 # (cosine exactly 1 with the original).
 def _q_embedding_neardup(spark, sf_dir):
     e = _tbl(spark, sf_dir, "embeddings")
-    n_bits = _lsh_bits(e.count())
+    n_bits = _lsh_bits(_emb_count(sf_dir))
     ed = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -1060,7 +1095,7 @@ def _ivf_ranked(spark, sf_dir):
     definition, so the quantizer rule lives in exactly two places
     (Spark + SQL)."""
     e = _tbl(spark, sf_dir, "embeddings")
-    n_cells = _ivf_cells(e.count())
+    n_cells = _ivf_cells(_emb_count(sf_dir))
     ed = _ed_with_norm(e)
     cents = ed.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
@@ -1591,6 +1626,14 @@ def _expected_sql(name: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # ANN bucket parameters: derived ONCE in Python integer arithmetic
+    # from the parquet footer row count of the oracle sf's embeddings
+    # table, injected into the SQL as literals (same values the Spark
+    # queries use via _emb_count) — one parameter derivation, zero
+    # cross-engine float recomputation, zero count() jobs.
+    _n_emb = _emb_count(_oracle_sf_dir())
+    nb = _lsh_bits(_n_emb)
+    nc = _ivf_cells(_n_emb)
     return {
         "x_extract_documents": _expected_sql("x_extract_documents"),
         "x_extract_transcripts": _expected_sql("x_extract_transcripts"),
@@ -1828,14 +1871,13 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 4
         """,
         "q_embedding_ann_lsh": f"""
-            WITH p AS ({_SQL_LSH_BITS}),
-            ed AS (
+            WITH ed AS (
               SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
                      list_sum([CASE WHEN v[i+1] > 0
                                     THEN 1::BIGINT << i ELSE 0 END
-                               for i in range(p.nb)])::BIGINT AS bkt
+                               for i in range({nb})])::BIGINT AS bkt
               FROM (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
-                    FROM embeddings), p
+                    FROM embeddings)
             ),
             scored AS (
               SELECT q.vec_id AS query_id, q.bkt, e.vec_id AS neighbor_id,
@@ -1851,8 +1893,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "q_embedding_neardup": f"""
-            WITH p AS ({_SQL_LSH_BITS}),
-            base AS (
+            WITH base AS (
               SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
             ),
             alle AS (
@@ -1865,8 +1906,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
                      list_sum([CASE WHEN v[i+1] > 0
                                     THEN 1::BIGINT << i ELSE 0 END
-                               for i in range(p.nb)])::BIGINT AS bkt
-              FROM alle, p
+                               for i in range({nb})])::BIGINT AS bkt
+              FROM alle
             )
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    floor(list_dot_product(a.v, b.v) /
@@ -1876,7 +1917,7 @@ def oracle_sql() -> dict[str, str]:
                         (a.nrm * b.nrm) * 1000000.0) >= 999000
         """,
         "q_embedding_ann_ivf": f"""
-            WITH {_SQL_IVF_RANKED},
+            WITH {_sql_ivf_ranked(nc)},
             assigned AS (
               SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rn = 1
             ),
@@ -1895,7 +1936,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "q_embedding_ann_ivf_mp": f"""
-            WITH {_SQL_IVF_RANKED},
+            WITH {_sql_ivf_ranked(nc)},
             probes AS (
               SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cell
               FROM ranked WHERE rn <= 4

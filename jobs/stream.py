@@ -51,26 +51,30 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session(app_name=f"ocr_spark_stream_{args.mode}",
                           master=args.master)
-    # Per-mode checkpoint subdir: the file-source offset log is specific
-    # to one query shape; reusing a checkpoint across modes would make
-    # the new mode see every input file as already committed and silently
-    # emit nothing.  Same-mode reuse stays the legitimate resume path.
+    # Per-mode checkpoint AND output subdirs: the file-source offset log
+    # is specific to one query shape (reusing a checkpoint across modes
+    # would make the new mode see every input file as already committed
+    # and silently emit nothing), and the output schemas differ per mode
+    # (interleaving extract/dedup/rate rows in one parquet directory
+    # breaks downstream reads).  Same-mode reuse stays the legitimate
+    # resume path for both.
     ckpt = os.path.join(args.checkpoint, args.mode)
+    out = os.path.join(args.output, args.mode)
     if args.mode == "extract":
         q = run_extract_stream(
-            spark, args.input, args.output, ckpt,
+            spark, args.input, out, ckpt,
             available_now=args.drain,
             max_files_per_trigger=args.max_files_per_trigger,
         )
     elif args.mode == "dedup":
         q = run_dedup_stream(
-            spark, args.input, args.output, ckpt,
+            spark, args.input, out, ckpt,
             available_now=args.drain,
             max_files_per_trigger=args.max_files_per_trigger,
         )
     else:
         q = run_turn_rate_stream(
-            spark, args.input, args.output, ckpt,
+            spark, args.input, out, ckpt,
             available_now=args.drain,
             max_files_per_trigger=args.max_files_per_trigger,
         )

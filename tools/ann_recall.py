@@ -72,7 +72,13 @@ def measure(sf_dir: str, k: int = 3) -> dict:
         return hits / tot, cand_total / n
 
     bits = _lsh_bits(n)
-    lsh_groups = ((v[:, :bits] > 0) @ (1 << np.arange(bits, dtype=np.int64)))
+    # mirror the query semantics at any corpus size: element_at past the
+    # embedding dimension is NULL -> contributes 0 in Spark/DuckDB, so
+    # out-of-range axis planes never set a bit — clamp instead of crash
+    eff_bits = min(bits, v.shape[1])
+    lsh_groups = (
+        (v[:, :eff_bits] > 0) @ (1 << np.arange(eff_bits, dtype=np.int64))
+    )
     lsh_recall, lsh_cand = recall_for(lsh_groups[:, None])
 
     cells = _ivf_cells(n)
