@@ -807,11 +807,11 @@ def _q_simhash_neardup(spark, sf_dir):
 # Dedup clustering: connected components over the MinHash near-dup pair
 # graph — the pipeline stage AFTER pair generation that picks one
 # canonical keeper per duplicate cluster (component_id = min doc_id in
-# the component).  Spark side: iterative min-label propagation over the
-# edge list until fixpoint — the standard Pregel-style loop; each round
-# is one join + one aggregation, iteration count = graph diameter (tiny
-# for near-dup clusters, which are dense).  The driver-side work per
-# round is ONE metadata count (the convergence check), never data.
+# the component).  Spark side: min-label propagation with POINTER
+# DOUBLING (ocr_spark/operators/graph.py) — rounds are O(log diameter),
+# so a pathological L-chain of templated documents costs ~log2(L)
+# shuffle rounds instead of L.  The driver-side work per round is ONE
+# metadata count (the convergence check), never data.
 # Oracle: DuckDB recursive CTE computing min reachable label (UNION set
 # semantics terminate it).  Non-SQL-expressible in one Spark query, yet
 # still fully hash-verified — the loop is deterministic.
@@ -827,6 +827,8 @@ _CLUSTER_LABEL_CACHE: list = []
 
 
 def _q_dedup_clusters(spark, sf_dir):
+    from ocr_spark.operators.graph import connected_components
+
     for prev in _CLUSTER_LABEL_CACHE:
         # best-effort release: if the SparkSession that created the
         # cached labels has been stopped, unpersist raises — the cache
@@ -837,39 +839,7 @@ def _q_dedup_clusters(spark, sf_dir):
             pass
     _CLUSTER_LABEL_CACHE.clear()
     pairs = _q_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lab", F.col("doc_id"))
-        .persist()
-    )
-    edges.count()  # materialize once; the loop reuses the cached edges
-    while True:
-        nbr = edges.join(
-            labels.withColumnRenamed("doc_id", "dst"), "dst"
-        ).select(F.col("src").alias("doc_id"), "lab")
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("lab").alias("lab"))
-            .persist()
-        )
-        changed = (
-            labels.withColumnRenamed("lab", "old_lab")
-            .join(new_labels, "doc_id")
-            .filter(F.col("old_lab") != F.col("lab"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
+    labels, _rounds = connected_components(pairs, a="doc_a", b="doc_b")
     _CLUSTER_LABEL_CACHE.append(labels)
     return labels.select("doc_id", F.col("lab").alias("component_id"))
 

@@ -1,0 +1,63 @@
+"""Connected components (ocr_spark/operators/graph.py): correctness on
+crafted graphs and the log-round convergence bound on a planted chain —
+the shape where plain min-label propagation degrades to O(L) rounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_spark.operators.graph import connected_components
+
+
+def _labels_dict(labels_df):
+    out = {r["doc_id"]: r["lab"] for r in labels_df.collect()}
+    labels_df.unpersist()
+    return out
+
+
+def test_two_components_and_star(spark):
+    # component A: triangle {1,2,3}; component B: star centered at 10
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (10, 12), (10, 13)],
+        "src long, dst long",
+    )
+    labels, rounds = connected_components(pairs)
+    got = _labels_dict(labels)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+    assert rounds <= 3  # dense components converge immediately
+
+
+def test_chain_converges_in_log_rounds(spark):
+    # 200-node path 0-1-2-...-199: the worst case for plain propagation
+    # (label 0 must travel 199 hops => 199 rounds).  Pointer doubling
+    # roughly doubles the horizon per round (h -> 2h+1), so convergence
+    # plus the no-change confirmation round fits in ~log2(200)+2.
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels, rounds = connected_components(pairs)
+    got = _labels_dict(labels)
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 10, f"chain took {rounds} rounds — pointer doubling broken"
+
+
+def test_chain_worst_id_order(spark):
+    # ids DESCENDING along the chain: min id sits at the far end of every
+    # path prefix — exercises the direction where shortcutting must pull
+    # labels backwards through the parent mapping.
+    n = 120
+    pairs = spark.createDataFrame(
+        [(n - i, n - i - 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels, rounds = connected_components(pairs)
+    got = _labels_dict(labels)
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert rounds <= 10
+
+
+def test_max_rounds_guard(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="exceeded"):
+        connected_components(pairs, max_rounds=0)
