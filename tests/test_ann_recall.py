@@ -20,3 +20,16 @@ def test_recall_measurement_and_tradeoff_monotonicity():
     assert r4 > r1
     # and still scan far fewer candidates than brute force
     assert c4 < m["n"]
+
+
+def test_multitable_lsh_recall_bar():
+    """The multi-table sign-LSH query (q_embedding_ann_lsh_mt) must hold
+    recall@3 >= 0.8 on the driver's correctness corpus (sf0.01) — the
+    same bar the IVF multi-probe path meets (measured 0.90 vs 0.84).
+    OR-amplification must also dominate the single table it amplifies.
+    """
+    m = measure("/root/testdata/sf0.01", k=3)
+    assert m["lsh_mt"]["recall_at_k"] >= 0.8, m["lsh_mt"]
+    assert m["lsh_mt"]["recall_at_k"] > m["lsh"]["recall_at_k"]
+    # still a genuine pruning structure, not brute force in disguise
+    assert m["lsh_mt"]["avg_candidates"] < m["n"]

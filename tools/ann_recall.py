@@ -33,7 +33,13 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from __spark_entry__ import _ivf_cells, _lsh_bits  # noqa: E402
+from __spark_entry__ import (  # noqa: E402
+    _LSH_TABLES,
+    _hp_signs,
+    _ivf_cells,
+    _lsh_bits,
+    _lsh_mt_bits,
+)
 
 
 def measure(sf_dir: str, k: int = 3) -> dict:
@@ -71,15 +77,31 @@ def measure(sf_dir: str, k: int = 3) -> dict:
             tot += k
         return hits / tot, cand_total / n
 
+    # seeded random-hyperplane buckets — the EXACT twin of the Spark/
+    # DuckDB rule: quantize to int64 (floor(v * 1e6)), ±1-weighted
+    # integer dot per plane, bit = (dot > 0)
+    vfp = np.floor(v * 1e6).astype(np.int64)
+    dims = v.shape[1]
+
+    def hp_buckets(table: int, bits: int) -> np.ndarray:
+        signs = np.array(_hp_signs(table, bits, dims), dtype=np.int64)
+        dots = vfp @ signs.T
+        return (dots > 0) @ (1 << np.arange(bits, dtype=np.int64))
+
     bits = _lsh_bits(n)
-    # mirror the query semantics at any corpus size: element_at past the
-    # embedding dimension is NULL -> contributes 0 in Spark/DuckDB, so
-    # out-of-range axis planes never set a bit — clamp instead of crash
-    eff_bits = min(bits, v.shape[1])
-    lsh_groups = (
-        (v[:, :eff_bits] > 0) @ (1 << np.arange(eff_bits, dtype=np.int64))
+    lsh_recall, lsh_cand = recall_for(hp_buckets(0, bits)[:, None])
+
+    # multi-table OR-amplification (q_embedding_ann_lsh_mt): candidates
+    # = union over _LSH_TABLES independent hyperplane sets.  recall_for
+    # namespaces each table's buckets so same-key-different-table groups
+    # never merge.
+    mt_bits = _lsh_mt_bits(n)
+    assert mt_bits < 56, "table-namespace shift needs bits < 56"
+    mt_groups = np.stack(
+        [hp_buckets(t, mt_bits) | (t << 56) for t in range(_LSH_TABLES)],
+        axis=1,
     )
-    lsh_recall, lsh_cand = recall_for(lsh_groups[:, None])
+    mt_recall, mt_cand = recall_for(mt_groups)
 
     cells = _ivf_cells(n)
     cents = norm[:cells]
@@ -101,6 +123,12 @@ def measure(sf_dir: str, k: int = 3) -> dict:
             "bits": bits,
             "recall_at_k": round(lsh_recall, 4),
             "avg_candidates": round(lsh_cand, 1),
+        },
+        "lsh_mt": {
+            "tables": _LSH_TABLES,
+            "bits": mt_bits,
+            "recall_at_k": round(mt_recall, 4),
+            "avg_candidates": round(mt_cand, 1),
         },
         "ivf": {"cells": cells, "nprobe": ivf},
         "note": "sandbox embeddings are near-random; read the tradeoff, "
