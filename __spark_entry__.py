@@ -205,12 +205,91 @@ def _ivf_cells(n_rows: int) -> int:
     return max(16, math.isqrt(max(n_rows, 0)))
 
 
-def _sql_ivf_ranked(nc: int) -> str:
+# --- trained IVF coarse quantizer ------------------------------------------
+# Deterministic sampled spherical k-means (round 2 used the `cells`
+# lowest vec_ids as centroids — a degenerate quantizer).  Seeds = the
+# `cells` vectors with the lowest md5 fingerprint of their vec_id (a
+# deterministic hash sample, so seed quality does not depend on id
+# assignment order); a FIXED number of Lloyd iterations assigns each
+# unit vector to its max-cosine centroid (fixed-point, ties to the
+# lowest cell) and re-normalizes the mean.  Computed ONCE per sf dir in
+# pure NumPy on the driver and injected into BOTH engines as literals,
+# so cross-engine parity is structural — neither engine re-derives the
+# training.  At production scale the same k-means runs over a hash
+# sample of the corpus (√N centroids need ~100√N sample rows, far below
+# driver memory even at 10^11 vectors); the sandbox trains on the full
+# table because it IS a sample-sized table.
+# Measured on sf0.01 (tools/ann_recall.py, faithful index-side
+# accounting): nprobe=1 recall@3 0.213 -> 0.263, probe=6/index=2
+# 0.453@nprobe-4-equivalent -> 0.851 vs the lowest-id quantizer.
+_IVF_KMEANS_ITERS = 10
+_IVF_NPROBE = 6   # query side fans to its 6 closest cells
+_IVF_NINDEX = 2   # index side is assigned to its 2 closest cells
+
+_IVF_CENTROID_CACHE: dict[str, list[list[float]]] = {}
+
+
+def _ivf_centroids(sf_dir: str) -> list[list[float]]:
+    got = _IVF_CENTROID_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    v = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    vec_ids = t.vec_id.to_numpy()
+    cells = _ivf_cells(len(v))
+    norm = v / np.linalg.norm(v, axis=1, keepdims=True)
+    fps = np.array(
+        [
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+            for i in vec_ids
+        ]
+    )
+    seed_idx = np.sort(np.argsort(fps, kind="stable")[:cells])
+    cents = norm[seed_idx].copy()
+    for _ in range(_IVF_KMEANS_ITERS):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(np.floor((norm @ cn.T) * 1e6), axis=1)
+        new = cn.copy()  # empty cells keep their previous centroid
+        for c in range(cells):
+            m = assign == c
+            if m.any():
+                s = norm[m].sum(axis=0)
+                ln = np.linalg.norm(s)
+                if ln > 0:
+                    new[c] = s / ln
+        cents = new
+    out = [[float(x) for x in row] for row in cents]
+    _IVF_CENTROID_CACHE[sf_dir] = out
+    return out
+
+
+def _fmt_dvec(row: list[float]) -> str:
+    """DuckDB DOUBLE[] literal with exact float64 round-trip: repr() is
+    shortest-round-trip, and the e-notation suffix forces the parser
+    down the DOUBLE path (a bare decimal literal parses as DECIMAL,
+    which loses the last ulp on >15-digit values)."""
+
+    def one(x: float) -> str:
+        s = repr(x)
+        return s if ("e" in s or "E" in s) else s + "e0"
+
+    return "[" + ", ".join(one(x) for x in row) + "]"
+
+
+def _sql_ivf_ranked(cents: list[list[float]]) -> str:
     """DuckDB twin of _ivf_ranked (shared by both IVF oracles — the
-    quantizer definition lives here and in _ivf_ranked only).  `nc` is
-    the Python-derived integer cell count, injected as a literal so both
-    engines share ONE parameter derivation (no cross-engine float
-    ceil/sqrt recomputation)."""
+    quantizer definition lives here and in _ivf_ranked only).  `cents`
+    are the Python-trained k-means centroids (_ivf_centroids), injected
+    as exact DOUBLE[] literals so both engines rank against the
+    identical quantizer."""
+    rows = ", ".join(
+        f"({i}, {_fmt_dvec(cv)}::DOUBLE[])" for i, cv in enumerate(cents)
+    )
     return f"""
   ed AS (
     SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
@@ -218,8 +297,8 @@ def _sql_ivf_ranked(nc: int) -> str:
     )
   ),
   cents AS (
-    SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ed
-    WHERE vec_id < {nc}
+    SELECT col0 AS cid, col1 AS cv, sqrt(list_dot_product(col1, col1)) AS cn
+    FROM (VALUES {rows})
   ),
   ranked AS (
     SELECT e.vec_id, e.v, e.nrm, c.cid,
@@ -1217,18 +1296,20 @@ def _ivf_sim(a, b, na, nb):
 
 def _ivf_ranked(spark, sf_dir):
     """Shared IVF coarse-quantizer assignment: every vector ranked
-    against the broadcast centroid table by fixed-point cosine (ties to
-    the lowest centroid id).  rn == 1 is a vector's index cell; rn <= p
-    are its p probe cells.  Both IVF queries (single- and multi-probe)
-    and both DuckDB oracles (_SQL_IVF_RANKED) build on this one
-    definition, so the quantizer rule lives in exactly two places
-    (Spark + SQL)."""
+    against the broadcast TRAINED centroid table (_ivf_centroids,
+    deterministic sampled k-means injected as literals) by fixed-point
+    cosine (ties to the lowest cell id).  rn == 1 is a vector's primary
+    cell; rn <= p are its p closest cells.  Both IVF queries and both
+    DuckDB oracles (_sql_ivf_ranked) build on this one definition, so
+    the quantizer rule lives in exactly two places (Spark + SQL)."""
     e = _tbl(spark, sf_dir, "embeddings")
-    n_cells = _ivf_cells(_emb_count(sf_dir))
     ed = _ed_with_norm(e)
-    cents = ed.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
+    cents = spark.createDataFrame(
+        [(i, cv) for i, cv in enumerate(_ivf_centroids(sf_dir))],
+        "cid int, cv array<double>",
+    ).select(
+        "cid", "cv",
+        F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x)).alias("cn"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("c_sim").desc(), F.col("cid").asc()
@@ -1271,29 +1352,43 @@ def _q_embedding_ann_ivf(spark, sf_dir):
     )
 
 
-# Multi-probe IVF ANN: each query vector probes its nprobe=4 closest
-# cells (neighbors stay indexed under their single best cell), recovering
-# most of the recall a single-probe partition loses — measured on the
-# sandbox corpus by tools/ann_recall.py: recall@3 0.21 (nprobe=1) ->
-# 0.84 (nprobe=4) while scanning ~4*sqrt(N) candidates instead of N.
-# Plan shape is unchanged: the probe side fans out x4 before the same
-# cell equi-join; at scale both sides partition by cell.
-def _q_embedding_ann_ivf_mp(spark, sf_dir, nprobe: int = 4):
+# Multi-probe, multi-assignment IVF ANN: each query vector probes its
+# _IVF_NPROBE=6 closest cells, and each vector is INDEXED under its
+# _IVF_NINDEX=2 closest cells (the multi-assignment/"spilling" IVF
+# variant — double the index size buys back the recall a hard partition
+# loses at cell boundaries).  Candidate (query, neighbor) pairs are
+# deduplicated before exact scoring — a pair can meet in up to 2 cells,
+# and scoring duplicates would corrupt the row_number top-k.  Measured
+# recall@3 on the sandbox corpus with FAITHFUL index-side accounting
+# (tools/ann_recall.py): 0.213 single-probe -> 0.851 at probe=6/index=2
+# over the k-means quantizer, scanning ~half the corpus at sandbox N
+# (the ratio shrinks as cells scale with √N).  Plan shape: probe side
+# fans x6, index side x2, same cell equi-join -> distinct -> two vector
+# joins -> window top-k; everything partitions by cell or vec_id.
+def _q_embedding_ann_ivf_mp(spark, sf_dir):
     ranked = _ivf_ranked(spark, sf_dir)
-    probes = ranked.filter(F.col("rn") <= nprobe).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), F.col("cid").alias("cell"),
+    probes = ranked.filter(F.col("rn") <= _IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("cell")
     )
-    index = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "v", "nrm",
-        F.col("cid").alias("cell"),
+    index = ranked.filter(F.col("rn") <= _IVF_NINDEX).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("cell")
     )
+    cand = (
+        probes.join(index, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    ed = _ed_with_norm(_tbl(spark, sf_dir, "embeddings"))
+    q = ed.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                  F.col("nrm").alias("qn"))
+    nv = ed.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
     w_top = Window.partitionBy("query_id").orderBy(
         F.col("sim_fp").desc(), F.col("neighbor_id").asc()
     )
     return (
-        probes.join(index, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(q, "query_id")
+        .join(nv, "neighbor_id")
         .select("query_id", "neighbor_id",
                 _ivf_sim("qv", "v", "qn", "nrm").alias("sim_fp"))
         .withColumn("rnk", F.row_number().over(w_top))
@@ -1764,7 +1859,7 @@ def oracle_sql() -> dict[str, str]:
     _dims = _emb_dims(_oracle_sf_dir())
     nb = _lsh_bits(_n_emb)
     nbm = _lsh_mt_bits(_n_emb)
-    nc = _ivf_cells(_n_emb)
+    _ivf_sql = _sql_ivf_ranked(_ivf_centroids(_oracle_sf_dir()))
     return {
         "x_extract_documents": _expected_sql("x_extract_documents"),
         "x_extract_transcripts": _expected_sql("x_extract_transcripts"),
@@ -2083,7 +2178,7 @@ def oracle_sql() -> dict[str, str]:
                         (a.nrm * b.nrm) * 1000000.0) >= 999000
         """,
         "q_embedding_ann_ivf": f"""
-            WITH {_sql_ivf_ranked(nc)},
+            WITH {_ivf_sql},
             assigned AS (
               SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rn = 1
             ),
@@ -2102,21 +2197,27 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
         """,
         "q_embedding_ann_ivf_mp": f"""
-            WITH {_sql_ivf_ranked(nc)},
+            WITH {_ivf_sql},
             probes AS (
-              SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cell
-              FROM ranked WHERE rn <= 4
+              SELECT vec_id AS query_id, cid AS cell
+              FROM ranked WHERE rn <= {_IVF_NPROBE}
             ),
             idx AS (
-              SELECT vec_id AS neighbor_id, v, nrm, cid AS cell
-              FROM ranked WHERE rn = 1
+              SELECT vec_id AS neighbor_id, cid AS cell
+              FROM ranked WHERE rn <= {_IVF_NINDEX}
             ),
-            scored AS (
-              SELECT p.query_id, i.neighbor_id,
-                     floor(list_dot_product(p.qv, i.v) /
-                           (p.qn * i.nrm) * 1000000.0)::BIGINT AS sim_fp
+            cand AS (
+              SELECT DISTINCT p.query_id, i.neighbor_id
               FROM probes p JOIN idx i
                 ON p.cell = i.cell AND p.query_id != i.neighbor_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     floor(list_dot_product(q.v, e.v) /
+                           (q.nrm * e.nrm) * 1000000.0)::BIGINT AS sim_fp
+              FROM cand c
+              JOIN ed q ON q.vec_id = c.query_id
+              JOIN ed e ON e.vec_id = c.neighbor_id
             )
             SELECT query_id, neighbor_id, sim_fp, rnk::BIGINT AS rnk
             FROM (

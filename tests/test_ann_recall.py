@@ -22,14 +22,21 @@ def test_recall_measurement_and_tradeoff_monotonicity():
     assert c4 < m["n"]
 
 
-def test_multitable_lsh_recall_bar():
-    """The multi-table sign-LSH query (q_embedding_ann_lsh_mt) must hold
-    recall@3 >= 0.8 on the driver's correctness corpus (sf0.01) — the
-    same bar the IVF multi-probe path meets (measured 0.90 vs 0.84).
-    OR-amplification must also dominate the single table it amplifies.
+def test_recall_bars_at_correctness_sf():
+    """Both approximate-search recall paths must hold recall@3 >= 0.8 on
+    the driver's correctness corpus (sf0.01) under FAITHFUL accounting
+    (index side indexed exactly as the queries index it):
+      - q_embedding_ann_lsh_mt (16-table OR-amplified sign-LSH): 0.90
+      - q_embedding_ann_ivf_mp (probe=6/index=2 over trained k-means
+        centroids): 0.85
+    Amplification must also dominate the structures it amplifies, and
+    both must remain genuine pruning structures, not brute force.
     """
     m = measure("/root/testdata/sf0.01", k=3)
     assert m["lsh_mt"]["recall_at_k"] >= 0.8, m["lsh_mt"]
     assert m["lsh_mt"]["recall_at_k"] > m["lsh"]["recall_at_k"]
-    # still a genuine pruning structure, not brute force in disguise
     assert m["lsh_mt"]["avg_candidates"] < m["n"]
+    mp = m["ivf"]["nprobe"]["6"]
+    assert mp["recall_at_k"] >= 0.8, mp
+    assert mp["recall_at_k"] > m["ivf"]["single_probe_single_index"]["recall_at_k"]
+    assert mp["avg_candidates"] < m["n"]

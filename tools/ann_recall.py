@@ -34,9 +34,12 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from __spark_entry__ import (  # noqa: E402
+    _IVF_NINDEX,
+    _IVF_NPROBE,
     _LSH_TABLES,
     _hp_signs,
     _ivf_cells,
+    _ivf_centroids,
     _lsh_bits,
     _lsh_mt_bits,
 )
@@ -51,15 +54,22 @@ def measure(sf_dir: str, k: int = 3) -> dict:
     np.fill_diagonal(sims, -2.0)
     exact = np.argsort(-sims, axis=1)[:, :k]
 
-    def recall_for(groups: np.ndarray) -> tuple[float, float]:
-        """groups: (n, p) group ids per row (p probes).  Candidates =
-        rows sharing any probed group."""
+    def recall_for(
+        groups: np.ndarray, index_groups: np.ndarray | None = None
+    ) -> tuple[float, float]:
+        """groups: (n, p) PROBE group ids per row.  index_groups: the
+        groups each row is INDEXED under (defaults to `groups` — correct
+        for the symmetric LSH band joins; the IVF queries index under
+        fewer cells than they probe, and conflating the two overstates
+        recall, which is exactly what the round-2 instrumentation did).
+        Candidates = rows indexed under any probed group."""
         hits = tot = cand_total = 0
         # invert group -> members once
         from collections import defaultdict
 
         members = defaultdict(list)
-        for i, gs in enumerate(groups):
+        idx = groups if index_groups is None else index_groups
+        for i, gs in enumerate(idx):
             for g in set(gs.tolist()):
                 members[g].append(i)
         for i in range(n):
@@ -103,17 +113,28 @@ def measure(sf_dir: str, k: int = 3) -> dict:
     )
     mt_recall, mt_cand = recall_for(mt_groups)
 
+    # IVF over the TRAINED k-means quantizer (_ivf_centroids — the same
+    # literals both engines rank against), with the engines' fixed-point
+    # + lowest-cid tie-break and FAITHFUL index-side accounting: the
+    # index holds each vector under its _IVF_NINDEX closest cells, the
+    # query probes nprobe cells.
     cells = _ivf_cells(n)
-    cents = norm[:cells]
-    cell_sims = norm @ cents.T
+    cents = np.array(_ivf_centroids(sf_dir), dtype=np.float64)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cs = np.floor((norm @ cn.T) * 1e6)
+    order = np.lexsort(
+        (np.tile(np.arange(cs.shape[1]), (n, 1)), -cs), axis=1
+    )
     ivf = {}
-    for nprobe in (1, 2, 4):
-        probes = np.argsort(-cell_sims, axis=1)[:, :nprobe]
-        r, c = recall_for(probes)
+    for nprobe in (1, 2, 4, _IVF_NPROBE):
+        r, c = recall_for(order[:, :nprobe],
+                          index_groups=order[:, :_IVF_NINDEX])
         ivf[str(nprobe)] = {
             "recall_at_k": round(r, 4),
             "avg_candidates": round(c, 1),
         }
+    # the single-probe, single-index structure of q_embedding_ann_ivf
+    r1s, c1s = recall_for(order[:, :1], index_groups=order[:, :1])
 
     return {
         "sf_dir": sf_dir,
@@ -130,7 +151,15 @@ def measure(sf_dir: str, k: int = 3) -> dict:
             "recall_at_k": round(mt_recall, 4),
             "avg_candidates": round(mt_cand, 1),
         },
-        "ivf": {"cells": cells, "nprobe": ivf},
+        "ivf": {
+            "cells": cells,
+            "n_index": _IVF_NINDEX,
+            "nprobe": ivf,
+            "single_probe_single_index": {
+                "recall_at_k": round(r1s, 4),
+                "avg_candidates": round(c1s, 1),
+            },
+        },
         "note": "sandbox embeddings are near-random; read the tradeoff, "
                 "not the absolute recall (see module docstring)",
     }
