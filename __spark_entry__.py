@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_events": _q_pivot_events,
         # --- multimodal real decode (closed-form SQL oracle) ---------------
         "q_image_decode": _q_image_decode,
+        "q_png_decode": _q_png_decode,
         # --- extraction/multimodal pipelines (precomputed-table oracles) ---
         "x_extract_documents": _x_extract_documents,
         "x_extract_transcripts": _x_extract_transcripts,
@@ -1741,6 +1742,20 @@ def _q_image_decode(spark, sf_dir):
     return decode_images_real(d)
 
 
+# REAL compressed-codec decode (the round-2 "documented seam", now
+# filled for PNG): per doc, a deterministic 8-bit truecolor PNG with a
+# horizontal gradient and row filters cycling through all 5 PNG filter
+# types is synthesized, zlib-deflated, then decoded by the pure-NumPy
+# PNG decoder (stdlib inflate + unfiltering) inside mapInPandas.  The
+# DuckDB oracle computes the decoded geometry and pixel sum from the
+# closed forms — any chunk/inflate/unfilter bug breaks the hash match.
+def _q_png_decode(spark, sf_dir):
+    from ocr_spark.functions.multimodal import decode_pngs_real
+
+    d = _docs_wide(spark, sf_dir).select("doc_id")
+    return decode_pngs_real(d)
+
+
 # Extraction UDF over HTML-wrapped documents.  Oracle: precomputed
 # expected parquet from the single-process kernel (tools/gen_expected.py)
 # — the driver's rows+schema+hash gates apply in full.
@@ -2399,6 +2414,20 @@ def oracle_sql() -> dict[str, str]:
                    ((8 + doc_id % 16) * (4 + doc_id % 8))::BIGINT AS n_px,
                    ((doc_id % 256) * (8 + doc_id % 16) * (4 + doc_id % 8) * 3)::BIGINT AS px_sum
             FROM documents
+        """,
+        "q_png_decode": """
+            SELECT doc_id,
+                   w::BIGINT AS width,
+                   h::BIGINT AS height,
+                   (w * h)::BIGINT AS n_px,
+                   (3 * h * (w * base + (w * (w - 1)) // 2))::BIGINT AS px_sum
+            FROM (
+              SELECT doc_id,
+                     8 + doc_id % 16 AS w,
+                     4 + doc_id % 8 AS h,
+                     doc_id % 200 AS base
+              FROM documents
+            )
         """,
         "q_sessionize": """
             WITH g AS (

@@ -108,6 +108,153 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()                   # BGR -> RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + zlib.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over a pixel row."""
+    l_ = left.astype(np.int32)
+    u = up.astype(np.int32)
+    ul = upleft.astype(np.int32)
+    p = l_ + u - ul
+    pa, pb, pc = np.abs(p - l_), np.abs(p - u), np.abs(p - ul)
+    out = np.where((pa <= pb) & (pa <= pc), l_, np.where(pb <= pc, u, ul))
+    return out.astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filters: str = "cycle") -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (stdlib zlib deflate, no codec libraries).  `filters` picks the
+    per-row filter type: 'cycle' walks 0..4 by row index so a round-trip
+    exercises every unfilter path (None/Sub/Up/Average/Paeth); an
+    integer string like '0' pins one type."""
+    import zlib
+
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    bpp = 3
+    raw = arr.reshape(h, w * bpp).astype(np.uint8)
+    out = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.uint8)
+    for r in range(h):
+        row = raw[r]
+        ft = r % 5 if filters == "cycle" else int(filters)
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prior[:-bpp]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prior
+        elif ft == 3:
+            filt = row - (
+                (left.astype(np.int32) + prior.astype(np.int32)) // 2
+            ).astype(np.uint8)
+        else:
+            filt = row - _paeth(left, prior, upleft)
+        out += bytes([ft]) + filt.astype(np.uint8).tobytes()
+        prior = row
+    ihdr = (
+        int(w).to_bytes(4, "big")
+        + int(h).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bitdepth 8, truecolor, no interlace
+    )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Pure-NumPy PNG decode for 8-bit truecolor, non-interlaced images:
+    stdlib zlib inflate + per-row unfiltering (None/Sub/Up/Average/
+    Paeth).  Sub/Average/Paeth reconstruction is sequential in the left
+    neighbor, so those rows loop over pixels — fine for the metadata-
+    sized fixtures this seam decodes; a production decoder for large
+    rasters plugs in here (same signature)."""
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bitdepth, colortype, _, _, interlace = body[8:13]
+            if bitdepth != 8 or colortype != 2 or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # len + tag + body + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    bpp = 3
+    stride = w * bpp
+    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    data = data.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = int(data[r, 0])
+        row = data[r, 1:].copy()
+        if ft == 0:
+            rec = row
+        elif ft == 2:
+            rec = row + prior
+        elif ft == 1:
+            rec = row
+            for i in range(bpp, stride):
+                rec[i] = (int(rec[i]) + int(rec[i - bpp])) & 0xFF
+        elif ft == 3:
+            rec = row
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(rec[i]) + (left + int(prior[i])) // 2) & 0xFF
+        elif ft == 4:
+            rec = row
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                upleft = int(prior[i - bpp]) if i >= bpp else 0
+                rec[i] = (
+                    int(rec[i])
+                    + int(_paeth(
+                        np.uint8(left), prior[i], np.uint8(upleft)
+                    ))
+                ) & 0xFF
+            rec = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[r] = rec
+        prior = out[r]
+    return out.reshape(h, w, 3).copy()
+
+
 def _decode_ppm(b: bytes) -> np.ndarray:
     if b[:2] != b"P6":
         raise ValueError("not a binary PPM payload")
@@ -131,19 +278,22 @@ def _decode_ppm(b: bytes) -> np.ndarray:
 
 
 def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
-    """Real decode for uncompressed raster images (pure NumPy, no codec
-    libraries): 24-bit BMP and binary PPM, routed by magic bytes.
-    Compressed codecs (png/jpeg) and audio/video remain the single marked
-    seam where PIL/librosa/pyav would plug in — the distributed plumbing
-    around this function is identical either way."""
+    """Real decode for raster images (pure NumPy, no codec libraries):
+    24-bit BMP, binary PPM, and 8-bit truecolor PNG (stdlib zlib inflate
+    + NumPy unfiltering), routed by magic bytes.  JPEG and audio/video
+    remain the single marked seam where PIL/librosa/pyav would plug in —
+    the distributed plumbing around this function is identical either
+    way."""
     if media_type == "image":
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
         if payload[:2] == b"P6":
             return _decode_ppm(payload)
+        if payload[:8] == _PNG_MAGIC:
+            return _decode_png(payload)
     raise NotImplementedError(
         f"no in-sandbox codec for media_type={media_type!r} "
-        f"magic={payload[:4]!r}; compressed/audio/video decode needs "
+        f"magic={payload[:4]!r}; jpeg/audio/video decode needs "
         "PIL/librosa/pyav (deterministic stub path: decode_media_features)"
     )
 
@@ -222,6 +372,49 @@ def decode_images_real(df: DataFrame) -> DataFrame:
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             withp = synthesize_bmp_payloads(pdf)
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "n_px", "px_sum")}
+            for doc_id, payload in zip(withp["doc_id"], withp["payload"]):
+                arr = decode_media_real(payload, "image")
+                h, w, _ = arr.shape
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(w * h)
+                rows["px_sum"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return pruned.mapInPandas(gen, schema=IMAGE_DECODE_SCHEMA_DDL)
+
+
+def synthesize_png_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic PNG fixture per doc_id: width = 8 + doc_id % 16,
+    height = 4 + doc_id % 8, per-channel pixel value = (doc_id % 200) + x
+    (a horizontal gradient — base + x <= 221, no uint8 wrap), row filter
+    type cycling 0..4 so every unfilter path runs.  px_sum has the
+    closed form 3 * h * (w*base + w*(w-1)/2) a SQL oracle can verify."""
+    payloads = []
+    for doc_id in pdf["doc_id"]:
+        w = 8 + int(doc_id) % 16
+        h = 4 + int(doc_id) % 8
+        base = int(doc_id) % 200
+        row = (base + np.arange(w, dtype=np.int64)) % 256
+        arr = np.repeat(row[None, :, None], h, axis=0).repeat(3, axis=2)
+        payloads.append(encode_png(arr.astype(np.uint8), filters="cycle"))
+    return pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                         "payload": payloads})
+
+
+def decode_pngs_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL PNG decode (the compressed-codec twin of
+    decode_images_real): synthesize the gradient PNG per doc_id inside
+    mapInPandas, decode it with the pure-NumPy PNG decoder, emit
+    measured geometry + pixel sum.  Narrow op."""
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            withp = synthesize_png_payloads(pdf)
             rows = {k: [] for k in
                     ("doc_id", "width", "height", "n_px", "px_sum")}
             for doc_id, payload in zip(withp["doc_id"], withp["payload"]):

@@ -1,7 +1,8 @@
 """Multimodal binary-column plumbing (ocr_spark/functions/multimodal.py).
 
-Real decode (pure-NumPy BMP/PPM) is pinned by round-trip tests; the
-compressed-codec seam stays an explicit NotImplementedError.  The rest
+Real decode (pure-NumPy BMP/PPM/PNG — PNG via stdlib zlib inflate +
+NumPy unfiltering) is pinned by round-trip tests; the remaining codec
+seam (jpeg/audio/video) stays an explicit NotImplementedError.  The rest
 pins the Spark plumbing: schema, Arrow binary transport, batch shapes,
 determinism, magic sniffing, and empty-payload handling.
 """
@@ -12,21 +13,75 @@ import pytest
 
 from ocr_spark.functions.multimodal import (
     _decode_batch,
+    _decode_png,
     decode_images_real,
     decode_media_features,
     decode_media_real,
+    decode_pngs_real,
     encode_bmp,
+    encode_png,
     synthesize_bmp_payloads,
+    synthesize_png_payloads,
     with_binary_payload,
 )
 
 
-def test_decode_real_compressed_codecs_still_stubbed():
-    # png/jpeg/audio/video remain the marked codec seam
+def test_decode_real_remaining_codecs_still_stubbed():
+    # jpeg/audio/video remain the marked codec seam; a PNG-ish payload
+    # with a corrupt magic tail is NOT a PNG and falls to the seam too
+    with pytest.raises(NotImplementedError):
+        decode_media_real(b"\xff\xd8\xff....", "image")
     with pytest.raises(NotImplementedError):
         decode_media_real(b"\x89PNG....", "image")
     with pytest.raises(NotImplementedError):
         decode_media_real(b"RIFF....WAVE", "audio")
+
+
+@pytest.mark.parametrize("filters", ["0", "1", "2", "3", "4", "cycle"])
+def test_png_roundtrip_all_filters(filters):
+    rng = np.random.default_rng(int(filters) if filters != "cycle" else 99)
+    arr = rng.integers(0, 256, size=(7, 13, 3), dtype=np.uint8)
+    out = decode_media_real(encode_png(arr, filters=filters), "image")
+    np.testing.assert_array_equal(out, arr)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 16), (11, 1), (8, 23)])
+def test_png_roundtrip_edge_geometries(shape):
+    rng = np.random.default_rng(shape[0] * 100 + shape[1])
+    arr = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    out = _decode_png(encode_png(arr, filters="cycle"))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_png_rejects_unsupported_shapes():
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    b = bytearray(encode_png(arr))
+    # IHDR body starts at offset 16; byte 25 is the bit depth
+    b[24] = 16
+    with pytest.raises(NotImplementedError):
+        _decode_png(bytes(b))
+
+
+def test_synthesized_png_closed_form():
+    pdf = pd.DataFrame({"doc_id": [0, 7, 137, 4321]})
+    withp = synthesize_png_payloads(pdf)
+    for doc_id, payload in zip(withp.doc_id, withp.payload):
+        arr = decode_media_real(payload, "image")
+        w, h, base = 8 + doc_id % 16, 4 + doc_id % 8, doc_id % 200
+        assert arr.shape == (h, w, 3)
+        assert int(arr.astype(np.int64).sum()) == 3 * h * (
+            w * base + w * (w - 1) // 2
+        )
+
+
+def test_spark_png_decode_real(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(30)}))
+    rows = {r.doc_id: r for r in decode_pngs_real(df).collect()}
+    assert len(rows) == 30
+    for i in range(30):
+        w, h, base = 8 + i % 16, 4 + i % 8, i % 200
+        assert rows[i].width == w and rows[i].height == h
+        assert rows[i].px_sum == 3 * h * (w * base + w * (w - 1) // 2)
 
 
 @pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 16])
