@@ -207,6 +207,63 @@ def test_stream_dedup_within_watermark(spark, dirs):
     assert "text_md5" not in out.columns
 
 
+def test_stream_minhash_neardup_parity_with_batch(spark, dirs):
+    """Streaming MinHash near-dup (P3's continuous twin): over the same
+    bounded input, the drained pair set must EQUAL the batch
+    q_minhash_lsh pairs — same candidates (band equality), same exact-
+    Jaccard verification, same fixed-point values — regardless of
+    arrival order and across micro-batch boundaries (maxFilesPerTrigger
+    forces the band-bucket state to pair docs from different batches).
+    Pairs sharing several bands emit once per band; consumers key on
+    (doc_a, doc_b), so the comparison deduplicates first.
+    """
+    import __spark_entry__ as entry
+    from ocr_spark.streaming import run_minhash_neardup_stream
+
+    sf = "/root/testdata/sf0.001"
+    inp, outp, ckpt = dirs
+    pdf = (
+        entry._docs_with_planted_dups(spark, sf)
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf["ts"] = [base + pd.Timedelta(seconds=i) for i in range(len(pdf))]
+    # adversarial arrival order, split into 3 files / 3 micro-batches
+    pdf = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    for i in range(3):
+        spark.createDataFrame(
+            pdf.iloc[i::3], schema="doc_id long, text string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    q = run_minhash_neardup_stream(
+        spark, inp, outp, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(600)
+    assert not q.isActive
+
+    got = (
+        spark.read.parquet(outp)
+        .toPandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    want = (
+        entry._q_minhash_lsh(spark, sf)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    assert len(want) > 0, "fixture must contain planted near-dups"
+    pd.testing.assert_frame_equal(
+        got[["doc_a", "doc_b", "jaccard_fp"]],
+        want[["doc_a", "doc_b", "jaccard_fp"]],
+    )
+
+
 def test_stream_cli_drain(spark, dirs, tmp_path):
     """jobs/stream.py --drain processes a backlog end-to-end and exits.
     Runs in a subprocess (own SparkSession; the pytest session holds the
@@ -226,5 +283,6 @@ def test_stream_cli_drain(spark, dirs, tmp_path):
         capture_output=True, text=True, timeout=600, cwd=repo,
     )
     assert res.returncode == 0, res.stderr[-3000:]
-    out = spark.read.parquet(outp)
+    # output is namespaced per mode, mirroring the checkpoint
+    out = spark.read.parquet(os.path.join(outp, "extract"))
     assert out.count() == len(pdf)
