@@ -1,0 +1,104 @@
+"""Physical-plan regression tests — PLANS.md invariants as asserts.
+
+Each test pins the plan property that makes a query scale; they fail
+when someone reintroduces a pre-scan, loses predicate pushdown or
+column pruning, drops a broadcast, or turns a bucket equi-join back
+into a cross product.  Plans are inspected via the executed-plan string
+(AQE's initial plan — hints and scan metadata are all visible there).
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from fixtures.gen import gen_transcripts
+from ocr_spark.plans.extract_job import plan_extract
+from ocr_spark.sources.transcripts import transcripts_from_pandas
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _read_schema_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+
+
+def test_flagship_single_exchange_and_scan(spark, tmp_path):
+    """PLANS.md invariants 1/2/4/5: ONE Exchange, ONE scan, 3-column
+    ReadSchema (role/tool/ts pruned), per-partition (non-global) Sort."""
+    p = str(tmp_path / "transcripts")
+    transcripts_from_pandas(spark, gen_transcripts(n_convs=20)).write.parquet(p)
+    out = plan_extract(spark.read.parquet(p), n_buckets=8)
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    rs = _read_schema_lines(plan)
+    assert rs and "conv_id" in rs[0] and "text" in rs[0], plan
+    assert "role" not in rs[0] and "tool" not in rs[0] and "ts:" not in rs[0]
+    sort_lines = [ln for ln in plan.splitlines() if "Sort [" in ln]
+    assert sort_lines and all("false, 0" in ln for ln in sort_lines), (
+        "flagship Sort must be per-partition (global=false): " + plan
+    )
+    assert "MapInPandas" in plan
+
+
+def test_min_len_filter_pushdown(spark):
+    plan = _plan(entry._q_min_len_filter(spark, SF))
+    assert "GreaterThanOrEqual(n_chars,200)" in plan, plan
+    rs = _read_schema_lines(plan)
+    assert rs and "text" not in rs[0], (
+        "q_min_len_filter must prune the wide text column: " + plan
+    )
+
+
+def test_lineitem_pricing_date_pushdown(spark):
+    plan = _plan(entry._q_lineitem_pricing(spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_join_broadcast_is_broadcast(spark):
+    plan = _plan(entry._q_join_broadcast(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_anti_join_is_broadcast_anti(spark):
+    plan = _plan(entry._q_anti_join(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_regional_revenue_broadcasts_fixed_dims(spark):
+    """nation/region carry explicit hints (fixed 25/5 rows at any sf) —
+    at least two broadcast joins must survive planning."""
+    plan = _plan(entry._q_regional_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_countmin_single_scan(spark):
+    """The sketch builds in ONE pass: one scan, no 4-way union re-read."""
+    plan = _plan(entry._q_countmin_sketch(spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_ann_lsh_is_equi_join_not_cross(spark):
+    """Bucket equi-joins must never degrade to cross products — the
+    entire point of the LSH family at 100 TB."""
+    for q in (entry._q_embedding_ann_lsh, entry._q_embedding_ann_lsh_mt,
+              entry._q_embedding_neardup):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_broadcasts_centroids_only(spark):
+    """IVF's one intentional cross join is vectors x broadcast centroid
+    table (assignment); the intra-cell search must stay an equi-join."""
+    plan = _plan(entry._q_embedding_ann_ivf(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the centroid assign
+    # candidate search joins hash on the cell key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
