@@ -539,6 +539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_frames": _q_window_frames,
         "q_median_value": _q_median_value,
         "q_pivot_events": _q_pivot_events,
+        "q_cube_events": _q_cube_events,
+        "q_quantile_sketch": _q_quantile_sketch,
         # --- multimodal real decode (closed-form SQL oracle) ---------------
         "q_image_decode": _q_image_decode,
         "q_png_decode": _q_png_decode,
@@ -1615,6 +1617,60 @@ def _q_pivot_events(spark, sf_dir):
     )
 
 
+# CUBE aggregation: all 4 grouping-set marginals of (event_type, weekday)
+# in one pass (completes the multi-level-aggregation family beside the
+# two ROLLUPs).  Spark plans this as one Expand + hash aggregate — no
+# driver work, marginals computed map-side.
+def _q_cube_events(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    wd = F.dayofweek(F.col("ts")).cast("long").alias("weekday")
+    return ev.cube("event_type", wd).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.floor(F.sum("value") * F.lit(100.0)).cast("long").alias("sum_value_fp"),
+    )
+
+
+# Histogram-quantile sketch: per-group p50/p90/p99 from a fixed-point
+# value histogram — the SINGLE-PASS, MERGEABLE quantile path at 100 TB
+# (one hash aggregate builds the histogram; quantiles read off the
+# cumulative counts; histograms from different partitions/days merge by
+# cell addition, unlike the exact window median q_median_value, which
+# needs a full sort per group).  All arithmetic is integer: quantile q =
+# smallest bucket whose running count reaches ceil(q * N) — identical
+# rank rule in both engines, no float interpolation.
+def _q_quantile_sketch(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    vfp = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    hist = ev.groupBy("event_type", vfp.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type", "bucket", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qs = [("p50", 50), ("p90", 90), ("p99", 99)]
+    # rank threshold ceil(q*n/100) in pure integers: (q*n + 99) div 100
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({pct} * n + 99) div 100"),
+                F.col("bucket"),
+            )
+        ).alias(name)
+        for name, pct in qs
+    ]
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"), *picks
+    )
+
+
 # Grouped distinct aggregation (standard pipeline op the reference lacks;
 # exact COUNT(DISTINCT), so both engines hash-match — the approximate
 # HLL variant exists as approx_count_distinct but cannot be
@@ -2359,6 +2415,38 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::BIGINT AS n_users,
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY 1
+        """,
+        "q_cube_events": """
+            SELECT event_type, weekday,
+                   count(*)::BIGINT AS n_events,
+                   floor(sum(value) * 100.0)::BIGINT AS sum_value_fp
+            FROM (
+              SELECT event_type, value,
+                     (dayofweek(ts) + 1)::BIGINT AS weekday
+              FROM events
+            ) GROUP BY CUBE (event_type, weekday)
+        """,
+        "q_quantile_sketch": """
+            WITH hist AS (
+              SELECT event_type,
+                     floor(value * 100.0)::BIGINT AS bucket,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT event_type, bucket, cnt,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type) AS n
+              FROM hist
+            )
+            SELECT event_type,
+                   max(n)::BIGINT AS n_events,
+                   min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bucket END) AS p50,
+                   min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bucket END) AS p90,
+                   min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bucket END) AS p99
+            FROM cum GROUP BY event_type
         """,
         "q_window_frames": """
             SELECT user_id, event_id,
