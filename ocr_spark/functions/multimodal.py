@@ -279,11 +279,13 @@ def _decode_ppm(b: bytes) -> np.ndarray:
 
 def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
     """Real decode for raster images (pure NumPy, no codec libraries):
-    24-bit BMP, binary PPM, and 8-bit truecolor PNG (stdlib zlib inflate
-    + NumPy unfiltering), routed by magic bytes.  JPEG and audio/video
-    remain the single marked seam where PIL/librosa/pyav would plug in —
-    the distributed plumbing around this function is identical either
-    way."""
+    24-bit BMP, binary PPM, 8-bit truecolor PNG (stdlib zlib inflate +
+    NumPy unfiltering), and baseline JPEG (sequential DCT, grayscale or
+    4:4:4 — the layout of the reference's own test_image.jpg; see
+    ocr_spark/functions/jpeg.py), routed by magic bytes.  Progressive/
+    subsampled JPEG and audio/video remain the single marked seam where
+    PIL/librosa/pyav would plug in — the distributed plumbing around
+    this function is identical either way."""
     if media_type == "image":
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
@@ -291,10 +293,18 @@ def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
             return _decode_ppm(payload)
         if payload[:8] == _PNG_MAGIC:
             return _decode_png(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            from ocr_spark.functions.jpeg import decode_baseline
+
+            arr = decode_baseline(payload)
+            if arr.ndim == 2:           # grayscale -> (H, W, 3) contract
+                arr = np.repeat(arr[:, :, None], 3, axis=2)
+            return arr
     raise NotImplementedError(
         f"no in-sandbox codec for media_type={media_type!r} "
-        f"magic={payload[:4]!r}; jpeg/audio/video decode needs "
-        "PIL/librosa/pyav (deterministic stub path: decode_media_features)"
+        f"magic={payload[:4]!r}; progressive/subsampled jpeg and "
+        "audio/video decode needs PIL/librosa/pyav (deterministic stub "
+        "path: decode_media_features)"
     )
 
 
@@ -415,6 +425,59 @@ def decode_pngs_real(df: DataFrame) -> DataFrame:
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             withp = synthesize_png_payloads(pdf)
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "n_px", "px_sum")}
+            for doc_id, payload in zip(withp["doc_id"], withp["payload"]):
+                arr = decode_media_real(payload, "image")
+                h, w, _ = arr.shape
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(w * h)
+                rows["px_sum"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return pruned.mapInPandas(gen, schema=IMAGE_DECODE_SCHEMA_DDL)
+
+
+def synthesize_jpeg_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic baseline-JPEG fixture per doc_id: a grid of flat
+    8x8 tiles, TX = 1 + doc_id % 3 tiles across, TY = 1 + doc_id % 2
+    down, tile (bx, by) value = base + 5*bx + 11*by with
+    base = doc_id % 151 (max 171, no uint8 wrap).  With all-ones quant
+    tables a flat block round-trips EXACTLY through FDCT->quantize->
+    Huffman->dequantize->IDCT (the DC coefficient 8*(v-128) is integral
+    and every AC is 0), so px_sum has the closed form
+    3 * 64 * sum(tiles) a SQL oracle can verify — while the stream
+    itself is a genuine Huffman-coded JPEG exercising DC prediction
+    across blocks, EOB, byte stuffing, and marker parsing."""
+    from ocr_spark.functions.jpeg import encode_baseline
+
+    payloads = []
+    for doc_id in pdf["doc_id"]:
+        tx = 1 + int(doc_id) % 3
+        ty = 1 + int(doc_id) % 2
+        base = int(doc_id) % 151
+        bx = np.arange(tx, dtype=np.int64)
+        by = np.arange(ty, dtype=np.int64)
+        tiles = base + 5 * bx[None, :] + 11 * by[:, None]
+        arr = np.kron(tiles, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        payloads.append(encode_baseline(arr))
+    return pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                         "payload": payloads})
+
+
+def decode_jpegs_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL baseline-JPEG decode (the lossy-codec twin of
+    decode_pngs_real): synthesize the flat-tile JPEG per doc_id inside
+    mapInPandas, decode it with the pure-NumPy baseline decoder, emit
+    measured geometry + pixel sum (gray replicated to 3 channels by the
+    decode_media_real contract).  Narrow op."""
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            withp = synthesize_jpeg_payloads(pdf)
             rows = {k: [] for k in
                     ("doc_id", "width", "height", "n_px", "px_sum")}
             for doc_id, payload in zip(withp["doc_id"], withp["payload"]):

@@ -27,9 +27,11 @@ from ocr_spark.functions.multimodal import (
 
 
 def test_decode_real_remaining_codecs_still_stubbed():
-    # jpeg/audio/video remain the marked codec seam; a PNG-ish payload
-    # with a corrupt magic tail is NOT a PNG and falls to the seam too
-    with pytest.raises(NotImplementedError):
+    # audio/video remain the marked codec seam; a PNG-ish payload with
+    # a corrupt magic tail is NOT a PNG and falls to the seam too.
+    # (JPEG now routes to the real baseline decoder — a junk JPEG-magic
+    # payload is a malformed stream, ValueError, not the codec seam.)
+    with pytest.raises(ValueError):
         decode_media_real(b"\xff\xd8\xff....", "image")
     with pytest.raises(NotImplementedError):
         decode_media_real(b"\x89PNG....", "image")
