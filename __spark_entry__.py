@@ -545,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_decode": _q_image_decode,
         "q_png_decode": _q_png_decode,
         "q_jpeg_decode": _q_jpeg_decode,
+        "q_wav_decode": _q_wav_decode,
         # --- extraction/multimodal pipelines (precomputed-table oracles) ---
         "x_extract_documents": _x_extract_documents,
         "x_extract_transcripts": _x_extract_transcripts,
@@ -1832,6 +1833,19 @@ def _q_jpeg_decode(spark, sf_dir):
     return decode_jpegs_real(d)
 
 
+# REAL audio decode (WAV/PCM16 — the one audio container parseable with
+# zero codec libraries): per doc, a deterministic integer PCM waveform
+# is RIFF-encoded then decoded by the pure-NumPy chunk-walking parser
+# inside mapInPandas; the oracle recomputes stream geometry and the
+# exact amplitude stats from the integer closed form via a range join.
+# Compressed audio (mp3/ogg/flac) stays the honest codec seam.
+def _q_wav_decode(spark, sf_dir):
+    from ocr_spark.functions.multimodal import decode_wavs_real
+
+    d = _docs_wide(spark, sf_dir).select("doc_id")
+    return decode_wavs_real(d)
+
+
 # Extraction UDF over HTML-wrapped documents.  Oracle: precomputed
 # expected parquet from the single-process kernel (tools/gen_expected.py)
 # — the driver's rows+schema+hash gates apply in full.
@@ -2552,6 +2566,23 @@ def oracle_sql() -> dict[str, str]:
                      doc_id % 151 AS base
               FROM documents
             )
+        """,
+        "q_wav_decode": """
+            SELECT d.doc_id,
+                   max(d.n)::BIGINT AS n_samples,
+                   max(d.rate)::BIGINT AS sample_rate,
+                   max(d.ch)::BIGINT AS n_channels,
+                   sum(abs(((d.doc_id * 13 + 7 * t.t + 31 * c.c) % 201)
+                           - 100))::BIGINT AS amp_sum,
+                   max(abs(((d.doc_id * 13 + 7 * t.t + 31 * c.c) % 201)
+                           - 100))::BIGINT AS amp_max
+            FROM (
+              SELECT doc_id, 400 + doc_id % 100 AS n, 1 + doc_id % 2 AS ch,
+                     8000 + (doc_id % 5) * 1000 AS rate
+              FROM documents
+            ) d, range(0, 500) t(t), range(0, 2) c(c)
+            WHERE t.t < d.n AND c.c < d.ch
+            GROUP BY d.doc_id
         """,
         "q_sessionize": """
             WITH g AS (

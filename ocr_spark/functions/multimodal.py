@@ -277,6 +277,66 @@ def _decode_ppm(b: bytes) -> np.ndarray:
     return data.reshape(h, w, 3).copy()
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_samples, n_channels) int16 array as a RIFF/WAVE
+    PCM16 file — the fixture writer for the real audio-decode path."""
+    assert samples.dtype == np.int16 and samples.ndim == 2
+    n, ch = samples.shape
+    data = samples.tobytes()            # interleaved little-endian PCM16
+    byte_rate = sample_rate * ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")       # PCM
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")    # bits/sample
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """Pure-NumPy RIFF/WAVE PCM16 decode: walk the chunk list (skipping
+    unknown chunks by their declared size, with word alignment), parse
+    fmt, return (samples (n, ch) int16, sample_rate).  Float/ADPCM/
+    24-bit streams raise NotImplementedError — the same honest-seam
+    convention as the image decoders."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = n_channels = None
+    data = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt_code = int.from_bytes(body[0:2], "little")
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV supported (fmt={fmt_code}, bits={bits})"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)        # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if n_channels < 1:
+        raise ValueError("WAV declares zero channels")
+    samples = np.frombuffer(
+        data, dtype="<i2", count=(len(data) // (2 * n_channels)) * n_channels
+    ).reshape(-1, n_channels)
+    return samples, sample_rate
+
+
 def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
     """Real decode for raster images (pure NumPy, no codec libraries):
     24-bit BMP, binary PPM, 8-bit truecolor PNG (stdlib zlib inflate +
@@ -300,11 +360,13 @@ def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
             if arr.ndim == 2:           # grayscale -> (H, W, 3) contract
                 arr = np.repeat(arr[:, :, None], 3, axis=2)
             return arr
+    if media_type == "audio" and payload[:4] == b"RIFF":
+        return _decode_wav(payload)[0]
     raise NotImplementedError(
         f"no in-sandbox codec for media_type={media_type!r} "
-        f"magic={payload[:4]!r}; progressive/subsampled jpeg and "
-        "audio/video decode needs PIL/librosa/pyav (deterministic stub "
-        "path: decode_media_features)"
+        f"magic={payload[:4]!r}; progressive/subsampled jpeg, compressed "
+        "audio, and video decode needs PIL/librosa/pyav (deterministic "
+        "stub path: decode_media_features)"
     )
 
 
@@ -491,6 +553,59 @@ def decode_jpegs_real(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows).astype("int64")
 
     return pruned.mapInPandas(gen, schema=IMAGE_DECODE_SCHEMA_DDL)
+
+
+AUDIO_DECODE_SCHEMA_DDL = (
+    "doc_id bigint, n_samples bigint, sample_rate bigint, "
+    "n_channels bigint, amp_sum bigint, amp_max bigint"
+)
+
+
+def synthesize_wav_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic PCM16 WAV fixture per doc_id: n = 400 + doc_id %
+    100 samples, ch = 1 + doc_id % 2 channels, sample_rate = 8000 +
+    (doc_id % 5) * 1000, channel-c sample value
+    s(t, c) = ((doc_id*13 + 7*t + 31*c) % 201) - 100.  Integer
+    arithmetic end to end, so sum(|s|) and max(|s|) have exact SQL twins
+    (a lateral range join in the oracle)."""
+    payloads = []
+    for doc_id in pdf["doc_id"]:
+        d = int(doc_id)
+        n = 400 + d % 100
+        ch = 1 + d % 2
+        rate = 8000 + (d % 5) * 1000
+        t = np.arange(n, dtype=np.int64)[:, None]
+        c = np.arange(ch, dtype=np.int64)[None, :]
+        s = ((d * 13 + 7 * t + 31 * c) % 201) - 100
+        payloads.append(encode_wav(s.astype(np.int16), rate))
+    return pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                         "payload": payloads})
+
+
+def decode_wavs_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL audio decode: synthesize the PCM16 WAV per
+    doc_id inside mapInPandas, decode it with the pure-NumPy RIFF
+    parser, emit measured stream geometry + amplitude stats.  Narrow
+    op, same distribution contract as the image decoders."""
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            withp = synthesize_wav_payloads(pdf)
+            rows = {k: [] for k in ("doc_id", "n_samples", "sample_rate",
+                                    "n_channels", "amp_sum", "amp_max")}
+            for doc_id, payload in zip(withp["doc_id"], withp["payload"]):
+                samples, rate = _decode_wav(payload)
+                a = np.abs(samples.astype(np.int64))
+                rows["doc_id"].append(int(doc_id))
+                rows["n_samples"].append(samples.shape[0])
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(samples.shape[1])
+                rows["amp_sum"].append(int(a.sum()))
+                rows["amp_max"].append(int(a.max()))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return pruned.mapInPandas(gen, schema=AUDIO_DECODE_SCHEMA_DDL)
 
 
 def decode_media_features(df: DataFrame) -> DataFrame:

@@ -27,16 +27,60 @@ from ocr_spark.functions.multimodal import (
 
 
 def test_decode_real_remaining_codecs_still_stubbed():
-    # audio/video remain the marked codec seam; a PNG-ish payload with
-    # a corrupt magic tail is NOT a PNG and falls to the seam too.
-    # (JPEG now routes to the real baseline decoder — a junk JPEG-magic
-    # payload is a malformed stream, ValueError, not the codec seam.)
+    # compressed audio / video remain the marked codec seam; a PNG-ish
+    # payload with a corrupt magic tail is NOT a PNG and falls to the
+    # seam too.  (JPEG and RIFF/WAVE now route to real decoders — junk
+    # payloads behind those magics are malformed streams, ValueError,
+    # not the codec seam.)
     with pytest.raises(ValueError):
         decode_media_real(b"\xff\xd8\xff....", "image")
     with pytest.raises(NotImplementedError):
         decode_media_real(b"\x89PNG....", "image")
+    with pytest.raises(ValueError):
+        decode_media_real(b"RIFF\x04\x00\x00\x00WAVE", "audio")
     with pytest.raises(NotImplementedError):
-        decode_media_real(b"RIFF....WAVE", "audio")
+        decode_media_real(b"ID3\x04 mp3 frame data", "audio")
+    with pytest.raises(NotImplementedError):
+        decode_media_real(b"\x1aE\xdf\xa3 mkv", "video")
+
+
+def test_wav_roundtrip_exact():
+    from ocr_spark.functions.multimodal import _decode_wav, encode_wav
+
+    rng = np.random.RandomState(31)
+    for ch in (1, 2):
+        s = rng.randint(-32768, 32768, size=(777, ch)).astype(np.int16)
+        out, rate = _decode_wav(encode_wav(s, 44100))
+        assert rate == 44100
+        assert np.array_equal(out, s)
+
+
+def test_wav_skips_unknown_chunks():
+    from ocr_spark.functions.multimodal import _decode_wav, encode_wav
+
+    s = np.arange(16, dtype=np.int16).reshape(-1, 1)
+    b = encode_wav(s, 8000)
+    # splice an unknown odd-length chunk (word-aligned) before fmt
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"junk5" + b"\x00"
+    patched = b[:12] + extra + b[12:]
+    patched = (
+        patched[:4]
+        + (len(patched) - 8).to_bytes(4, "little")
+        + patched[8:]
+    )
+    out, rate = _decode_wav(patched)
+    assert rate == 8000 and np.array_equal(out, s)
+
+
+def test_wav_non_pcm_rejected():
+    from ocr_spark.functions.multimodal import _decode_wav, encode_wav
+
+    s = np.zeros((8, 1), dtype=np.int16)
+    b = bytearray(encode_wav(s, 8000))
+    i = bytes(b).find(b"fmt ")
+    b[i + 8] = 3                        # IEEE-float format code
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        _decode_wav(bytes(b))
 
 
 @pytest.mark.parametrize("filters", ["0", "1", "2", "3", "4", "cycle"])
