@@ -540,12 +540,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median_value": _q_median_value,
         "q_pivot_events": _q_pivot_events,
         "q_cube_events": _q_cube_events,
+        "q_funnel": _q_funnel,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_snapshot_delta": _q_snapshot_delta,
         "q_quantile_sketch": _q_quantile_sketch,
         # --- multimodal real decode (closed-form SQL oracle) ---------------
         "q_image_decode": _q_image_decode,
         "q_png_decode": _q_png_decode,
         "q_jpeg_decode": _q_jpeg_decode,
         "q_wav_decode": _q_wav_decode,
+        "q_mjpeg_frames": _q_mjpeg_frames,
         # --- extraction/multimodal pipelines (precomputed-table oracles) ---
         "x_extract_documents": _x_extract_documents,
         "x_extract_transcripts": _x_extract_transcripts,
@@ -1552,6 +1556,113 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+# Conversion funnel view -> click -> purchase with a 1-hour step
+# window: per user, the first view, the first click within an hour
+# AFTER that view, the first purchase within an hour after that click.
+# The sequencing constraint needs the previous stage's timestamp, so
+# the plan is three stage aggregates chained by user_id equi-joins —
+# all three shuffles hash on user_id, so AQE coalesces them onto one
+# exchange layout; no window over the full event stream is needed
+# (each stage prunes to one event type BEFORE its aggregate, so the
+# map-side combine sees only that type's rows).  Microsecond integer
+# arithmetic end-to-end — no float time math to diverge across engines.
+def _q_funnel(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour = 3_600_000_000
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("t"))
+        .join(v, "user_id")
+        .filter((F.col("t") > F.col("t_view"))
+                & (F.col("t") <= F.col("t_view") + hour))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("t"))
+        .join(c, "user_id")
+        .filter((F.col("t") > F.col("t_click"))
+                & (F.col("t") <= F.col("t_click") + hour))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).cast("long").alias("stage"),
+            F.col("t_view").alias("t_view_us"),
+        )
+    )
+
+
+# Stratified hash sampling: rebalance a multilingual corpus by keeping
+# 5% of the dominant language and 20% of the tail languages, with the
+# same deterministic md5 gate as q_hash_sample (reproducible across
+# runs AND engines — no RNG state to drift).  sum(doc_id) over the kept
+# set makes the hash sensitive to exactly WHICH docs were kept, not
+# just how many.
+def _q_stratified_sample(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % F.lit(100)
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(5)).otherwise(F.lit(20))
+    kept = bkt < rate
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(kept, 1)).cast("long").alias("n_sampled"),
+        F.coalesce(F.sum(F.when(kept, F.col("doc_id"))), F.lit(0))
+        .cast("long").alias("sampled_id_sum"),
+    )
+
+
+# Snapshot delta (CDC shape): classify every doc as added / deleted /
+# changed / unchanged between two dataset snapshots via one full outer
+# join on the key + content-hash comparison.  Snapshot B is derived
+# deterministically from A (doc_id % 7 == 0 deleted, % 5 == 0 edited,
+# % 11 == 0 re-keyed as a new doc) so both engines build identical
+# inputs.  At 100 TB this is the incremental-refresh primitive: one
+# co-partitioned join on the snapshot key, no driver state.
+def _q_snapshot_delta(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    a = d.select("doc_id", F.md5("text").alias("h_a"))
+    surviving = d.filter(F.col("doc_id") % 7 != 0)
+    edited = surviving.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    new_docs = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    b = edited.unionByName(new_docs).select(
+        "doc_id", F.md5("text").alias("h_b")
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("deleted"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status"))
+
+
 # Hypertable-style hierarchical time rollup: (day, type) -> (day) -> ()
 # in one pass (continuous-aggregate shape; NULL grouping keys mark the
 # coarser levels identically in both engines).
@@ -1844,6 +1955,20 @@ def _q_wav_decode(spark, sf_dir):
 
     d = _docs_wide(spark, sf_dir).select("doc_id")
     return decode_wavs_real(d)
+
+
+# REAL video decode (MJPEG AVI — frames are baseline JPEGs inside a
+# RIFF container, so the pure-NumPy JPEG codec makes the video tier a
+# working decoder too): per doc, an F-frame flat-tile MJPEG AVI is
+# container-encoded then RIFF-walked and frame-decoded inside
+# mapInPandas; the oracle recomputes frame count, geometry, and the
+# total pixel sum over (tiles x frames) from closed forms.  Inter-coded
+# video (h264/vp9) stays the honest codec seam.
+def _q_mjpeg_frames(spark, sf_dir):
+    from ocr_spark.functions.multimodal import decode_videos_real
+
+    d = _docs_wide(spark, sf_dir).select("doc_id")
+    return decode_videos_real(d)
 
 
 # Extraction UDF over HTML-wrapped documents.  Oracle: precomputed
@@ -2450,6 +2575,65 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events
             FROM events GROUP BY 1
         """,
+        "q_funnel": """
+            WITH v AS (
+              SELECT user_id, min(epoch_us(ts)) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            c AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click'
+                AND epoch_us(e.ts) > v.t_view
+                AND epoch_us(e.ts) <= v.t_view + 3600000000
+              GROUP BY 1
+            ),
+            p AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) > c.t_click
+                AND epoch_us(e.ts) <= c.t_click + 3600000000
+              GROUP BY 1
+            )
+            SELECT v.user_id,
+                   (1 + (c.t_click IS NOT NULL)::INT
+                      + (p.t_purchase IS NOT NULL)::INT)::BIGINT AS stage,
+                   v.t_view AS t_view_us
+            FROM v LEFT JOIN c ON v.user_id = c.user_id
+                   LEFT JOIN p ON v.user_id = p.user_id
+        """,
+        "q_stratified_sample": """
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   count(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+                                   < (CASE WHEN lang = 'en' THEN 5 ELSE 20 END)
+                              THEN 1 END)::BIGINT AS n_sampled,
+                   coalesce(sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+                                          < (CASE WHEN lang = 'en' THEN 5 ELSE 20 END)
+                                     THEN doc_id END), 0)::BIGINT AS sampled_id_sum
+            FROM documents GROUP BY lang
+        """,
+        "q_snapshot_delta": """
+            WITH a AS (
+              SELECT doc_id, md5(text) AS h_a FROM documents
+            ),
+            b AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                              ELSE text END) AS h_b
+              FROM documents WHERE doc_id % 7 != 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, md5(text) AS h_b
+              FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.h_a IS NULL THEN 'added'
+                        WHEN b.h_b IS NULL THEN 'deleted'
+                        WHEN a.h_a != b.h_b THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
         "q_cube_events": """
             SELECT event_type, weekday,
                    count(*)::BIGINT AS n_events,
@@ -2583,6 +2767,25 @@ def oracle_sql() -> dict[str, str]:
             ) d, range(0, 500) t(t), range(0, 2) c(c)
             WHERE t.t < d.n AND c.c < d.ch
             GROUP BY d.doc_id
+        """,
+        "q_mjpeg_frames": """
+            SELECT doc_id,
+                   nf::BIGINT AS n_frames,
+                   (8 * tx)::BIGINT AS width,
+                   (8 * ty)::BIGINT AS height,
+                   (192 * (nf * (tx * ty * base
+                                 + 5 * ty * (tx * (tx - 1)) // 2
+                                 + 11 * tx * (ty * (ty - 1)) // 2)
+                           + 17 * tx * ty * (nf * (nf - 1)) // 2))::BIGINT
+                       AS px_sum_all
+            FROM (
+              SELECT doc_id,
+                     1 + doc_id % 3 AS tx,
+                     1 + doc_id % 2 AS ty,
+                     doc_id % 100 AS base,
+                     1 + doc_id % 4 AS nf
+              FROM documents
+            )
         """,
         "q_sessionize": """
             WITH g AS (

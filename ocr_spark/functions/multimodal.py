@@ -362,6 +362,12 @@ def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
             return arr
     if media_type == "audio" and payload[:4] == b"RIFF":
         return _decode_wav(payload)[0]
+    if (
+        media_type == "video"
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    ):
+        return _decode_mjpeg_avi(payload)
     raise NotImplementedError(
         f"no in-sandbox codec for media_type={media_type!r} "
         f"magic={payload[:4]!r}; progressive/subsampled jpeg, compressed "
@@ -555,6 +561,102 @@ def decode_jpegs_real(df: DataFrame) -> DataFrame:
     return pruned.mapInPandas(gen, schema=IMAGE_DECODE_SCHEMA_DDL)
 
 
+def _avi_chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + len(body).to_bytes(4, "little") + body + (b"\x00" * (len(body) & 1))
+
+
+def _avi_list(list_type: bytes, body: bytes) -> bytes:
+    return _avi_chunk(b"LIST", list_type + body)
+
+
+def encode_mjpeg_avi(frames: list[bytes], fps: int, w: int, h: int) -> bytes:
+    """Encode JPEG frame payloads as an MJPEG AVI (RIFF 'AVI ' with
+    hdrl/movi/idx1 — the public AVI 1.0 layout): avih + one 'vids'
+    stream with MJPG handler, frames as 00dc chunks.  The fixture
+    writer for the real video-decode path."""
+    n = len(frames)
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in [
+            1_000_000 // max(fps, 1),   # dwMicroSecPerFrame
+            0, 0, 0x10,                 # maxbytes, padding, AVIF_HASINDEX
+            n, 0, 1,                    # totalframes, initial, streams
+            0, w, h, 0, 0, 0, 0,        # sugbuf, width, height, reserved
+        ]
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + b"".join(
+            v.to_bytes(4, "little")
+            for v in [0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF, 0]
+        )                               # flags, prio, init, scale, rate,
+                                        # start, length, sugbuf, quality, ssize
+        + b"\x00" * 8                   # rcFrame
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + (w * h * 3).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(_avi_chunk(b"00dc", f) for f in frames)
+    movi = _avi_list(b"movi", movi_body)
+    # idx1: one entry per frame, offsets relative to start of movi data
+    idx = bytearray()
+    off = 4                             # past the 'movi' list-type fourcc
+    for f in frames:
+        idx += b"00dc" + (0x10).to_bytes(4, "little")
+        idx += off.to_bytes(4, "little") + len(f).to_bytes(4, "little")
+        off += 8 + len(f) + (len(f) & 1)
+    body = b"AVI " + hdrl + movi + _avi_chunk(b"idx1", bytes(idx))
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_mjpeg_avi(b: bytes) -> np.ndarray:
+    """Pure-NumPy MJPEG AVI decode: walk the RIFF tree to the movi
+    LIST, decode every 00dc/00db frame with the baseline JPEG decoder
+    (ocr_spark/functions/jpeg.py), return frames stacked as
+    (n_frames, H, W, 3) uint8.  Non-MJPEG streams inside an AVI fall
+    through to the JPEG decoder's own errors; other containers are the
+    codec seam."""
+    from ocr_spark.functions.jpeg import decode_baseline
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    frames: list[np.ndarray] = []
+
+    def walk(data: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body = data[pos + 8 : pos + 8 + ln]
+            if tag == b"LIST":
+                if body[:4] in (b"movi", b"hdrl", b"strl", b"rec "):
+                    walk(body[4:])
+            elif tag[2:4] in (b"dc", b"db") and body[:3] == b"\xff\xd8\xff":
+                arr = decode_baseline(body)
+                if arr.ndim == 2:
+                    arr = np.repeat(arr[:, :, None], 3, axis=2)
+                frames.append(arr)
+            pos += 8 + ln + (ln & 1)
+
+    walk(b[12:])
+    if not frames:
+        raise ValueError("AVI contains no decodable MJPEG frames")
+    return np.stack(frames)
+
+
 AUDIO_DECODE_SCHEMA_DDL = (
     "doc_id bigint, n_samples bigint, sample_rate bigint, "
     "n_channels bigint, amp_sum bigint, amp_max bigint"
@@ -606,6 +708,65 @@ def decode_wavs_real(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows).astype("int64")
 
     return pruned.mapInPandas(gen, schema=AUDIO_DECODE_SCHEMA_DDL)
+
+
+VIDEO_DECODE_SCHEMA_DDL = (
+    "doc_id bigint, n_frames bigint, width bigint, height bigint, "
+    "px_sum_all bigint"
+)
+
+
+def synthesize_avi_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic MJPEG-AVI fixture per doc_id: F = 1 + doc_id % 4
+    flat-tile JPEG frames (same tile grid as the JPEG fixture but
+    base = doc_id % 100 and frame f shifts every tile by 17*f; max
+    pixel value 99+10+11+51 = 171, no wrap), wrapped in a real AVI
+    container with hdrl/movi/idx1.  Each frame round-trips exactly
+    (flat blocks + unit quant tables), so the total pixel sum has a
+    closed form over (tiles x frames) a SQL oracle can verify."""
+    from ocr_spark.functions.jpeg import encode_baseline
+
+    payloads = []
+    for doc_id in pdf["doc_id"]:
+        d = int(doc_id)
+        tx, ty = 1 + d % 3, 1 + d % 2
+        base = d % 100
+        nf = 1 + d % 4
+        frames = []
+        for f in range(nf):
+            bx = np.arange(tx, dtype=np.int64)
+            by = np.arange(ty, dtype=np.int64)
+            tiles = base + 5 * bx[None, :] + 11 * by[:, None] + 17 * f
+            arr = np.kron(tiles, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+            frames.append(encode_baseline(arr))
+        payloads.append(encode_mjpeg_avi(frames, fps=10, w=8 * tx, h=8 * ty))
+    return pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                         "payload": payloads})
+
+
+def decode_videos_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL video decode (MJPEG AVI): synthesize the
+    container per doc_id inside mapInPandas, walk the RIFF tree and
+    decode every frame with the pure-NumPy baseline JPEG decoder, emit
+    frame count + geometry + total pixel sum.  Narrow op."""
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            withp = synthesize_avi_payloads(pdf)
+            rows = {k: [] for k in ("doc_id", "n_frames", "width",
+                                    "height", "px_sum_all")}
+            for doc_id, payload in zip(withp["doc_id"], withp["payload"]):
+                vid = decode_media_real(payload, "video")
+                nf, h, w, _ = vid.shape
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(nf)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["px_sum_all"].append(int(vid.astype(np.int64).sum()))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return pruned.mapInPandas(gen, schema=VIDEO_DECODE_SCHEMA_DDL)
 
 
 def decode_media_features(df: DataFrame) -> DataFrame:

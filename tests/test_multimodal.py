@@ -72,6 +72,40 @@ def test_wav_skips_unknown_chunks():
     assert rate == 8000 and np.array_equal(out, s)
 
 
+def test_mjpeg_avi_roundtrip_exact():
+    from ocr_spark.functions.jpeg import encode_baseline
+    from ocr_spark.functions.multimodal import (
+        _decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    rng = np.random.RandomState(37)
+    tiles = rng.randint(0, 256, size=(2, 2))
+    imgs = []
+    frames = []
+    for f in range(3):
+        arr = np.kron((tiles + f) % 256,
+                      np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        imgs.append(np.repeat(arr[:, :, None], 3, axis=2))
+        frames.append(encode_baseline(arr))
+    vid = _decode_mjpeg_avi(encode_mjpeg_avi(frames, fps=10, w=16, h=16))
+    assert vid.shape == (3, 16, 16, 3)
+    assert np.array_equal(vid, np.stack(imgs))
+
+
+def test_avi_without_frames_raises():
+    from ocr_spark.functions.multimodal import (
+        _decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    b = encode_mjpeg_avi([], fps=10, w=8, h=8)
+    with pytest.raises(ValueError, match="no decodable"):
+        _decode_mjpeg_avi(b)
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        _decode_mjpeg_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
 def test_wav_non_pcm_rejected():
     from ocr_spark.functions.multimodal import _decode_wav, encode_wav
 
