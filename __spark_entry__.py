@@ -1294,7 +1294,13 @@ def _q_embedding_neardup(spark, sf_dir):
 # comes from a sampled k-means rather than lowest-ids.
 def _ivf_sim(a, b, na, nb):
     """Fixed-point cosine with PRE-COMPUTED norms (once per vector, not
-    per pair — see _ed_with_norm)."""
+    per pair — see _ed_with_norm).  Deliberately a JVM-side higher-order
+    fold: an Arrow-vectorized pandas-UDF twin (bit-identical per-dim
+    fold, 0 mismatches on an 80k-pair A/B) was MEASURED 2-5x slower on
+    every ANN verify path at sf0.1 (lsh_mt 14.6->15.6 s, ivf_mp
+    9.3->45.8 s) — serializing two 64-dim double arrays per candidate
+    pair through the Python bridge costs more than the codegen'd fold
+    saves.  See PLANS.md "negative results"."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
