@@ -7,16 +7,18 @@ file is SOF0, 3 components, all 1x1 sampling — i.e. 4:4:4, no chroma
 subsampling), and this module decodes exactly that class without any
 codec library:
 
-  - decode_baseline: SOF0, 8-bit, 1 component (grayscale) or 3
-    components with 1x1 sampling everywhere.  Progressive (SOF2),
-    subsampled (4:2:0/4:2:2), arithmetic-coded, and restart-interval
-    streams raise NotImplementedError at a single marked seam — the
-    same honest-boundary convention as the PNG/BMP decoders in
+  - decode_baseline: SOF0, 8-bit, grayscale or 3-component color with
+    sampling factors up to 2x2 — covering 4:4:4 (the reference image),
+    4:2:0 (the dominant real-world layout; chroma upsampled by pixel
+    replication), and 4:2:2.  Progressive (SOF2), arithmetic-coded,
+    restart-interval, and >2x sampling streams raise
+    NotImplementedError at a single marked seam — the same
+    honest-boundary convention as the PNG/BMP decoders in
     multimodal.py.
-  - encode_baseline: the fixture-side twin (grayscale or 4:4:4 color)
-    writing real Huffman-coded entropy data with the spec's Annex K
-    example tables, so decoder fixtures are genuine JPEG streams, not
-    replayed private structures.
+  - encode_baseline: the fixture-side twin (grayscale, 4:4:4, 4:2:0,
+    or 4:2:2 color) writing real Huffman-coded entropy data with the
+    spec's Annex K example tables, so decoder fixtures are genuine
+    JPEG streams, not replayed private structures.
 
 Design notes for the 100 TB setting: a JPEG payload decodes
 independently of every other payload, so the distributed shape is the
@@ -279,10 +281,14 @@ def _dht_body(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
 
 
 def encode_baseline(arr: np.ndarray, qtab_luma: np.ndarray | None = None,
-                    qtab_chroma: np.ndarray | None = None) -> bytes:
+                    qtab_chroma: np.ndarray | None = None,
+                    subsampling: str = "444") -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as a baseline
-    sequential JPEG (4:4:4 for color — the reference image's own
-    layout).  Quant tables default to all-ones (near-lossless) so
+    sequential JPEG.  `subsampling` picks the color layout: '444'
+    (1x1 everywhere — the reference image's own layout), '420'
+    (2x2 luma, 2x2-box-averaged chroma — the dominant real-world
+    layout), or '422' (2x1 luma, horizontally averaged chroma).
+    Quant tables default to all-ones (near-lossless) so
     fixture round-trips stay closed-form; pass real tables for lossy
     behavior.  Edge blocks are padded by edge replication."""
     if qtab_luma is None:
@@ -291,10 +297,14 @@ def encode_baseline(arr: np.ndarray, qtab_luma: np.ndarray | None = None,
         qtab_chroma = qtab_luma
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    ph, pw = (-h) % 8, (-w) % 8
+    sub420 = (not gray) and subsampling == "420"
+    sub422 = (not gray) and subsampling == "422"
+    ph = (-h) % (16 if sub420 else 8)
+    pw = (-w) % (16 if (sub420 or sub422) else 8)
     if gray:
         planes = [np.pad(arr, ((0, ph), (0, pw)), mode="edge")]
         qtabs = [qtab_luma]
+        samps = [(1, 1)]
     else:
         rgb = arr.astype(np.float64)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -307,6 +317,25 @@ def encode_baseline(arr: np.ndarray, qtab_luma: np.ndarray | None = None,
             for p in (y, cb, cr)
         ]
         qtabs = [qtab_luma, qtab_chroma, qtab_chroma]
+        if sub420:
+            # chroma = 2x2 box average with round-half-up in integers
+            planes = [planes[0]] + [
+                ((p[0::2, 0::2].astype(np.int64)
+                  + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2] + 2) // 4
+                 ).astype(np.uint8)
+                for p in planes[1:]
+            ]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        elif sub422:
+            # chroma = horizontal pair average
+            planes = [planes[0]] + [
+                ((p[:, 0::2].astype(np.int64) + p[:, 1::2] + 1) // 2
+                 ).astype(np.uint8)
+                for p in planes[1:]
+            ]
+            samps = [(2, 1), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1)] * 3
 
     coefs = [_fdct_quant(p, q) for p, q in zip(planes, qtabs)]
 
@@ -317,13 +346,22 @@ def encode_baseline(arr: np.ndarray, qtab_luma: np.ndarray | None = None,
 
     bw = _BitWriter()
     preds = [0] * len(planes)
-    nblocks = coefs[0].shape[0]
-    for n in range(nblocks):            # interleaved 4:4:4 MCU order
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = planes[0].shape[1] // (8 * hmax)
+    mcuy = planes[0].shape[0] // (8 * vmax)
+    grid_ws = [planes[ci].shape[1] // 8 for ci in range(len(planes))]
+    for n in range(mcux * mcuy):        # interleaved MCU order
+        my, mx = divmod(n, mcux)
         for ci in range(len(planes)):
+            hi, vi = samps[ci]
             dc_codes = dc_l if ci == 0 else dc_c
             ac_codes = ac_l if ci == 0 else ac_c
-            preds[ci] = _encode_block(bw, coefs[ci][n], preds[ci],
-                                      dc_codes, ac_codes)
+            for by in range(vi):
+                for bx in range(hi):
+                    idx = (my * vi + by) * grid_ws[ci] + (mx * hi + bx)
+                    preds[ci] = _encode_block(bw, coefs[ci][idx], preds[ci],
+                                              dc_codes, ac_codes)
     entropy = bw.flush()
 
     out = bytearray(b"\xff\xd8")        # SOI
@@ -335,7 +373,8 @@ def encode_baseline(arr: np.ndarray, qtab_luma: np.ndarray | None = None,
     ncomp = 1 if gray else 3
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, _dht_body(0, 0, DC_LUM_BITS, DC_LUM_VALS))
     out += _seg(0xC4, _dht_body(1, 0, AC_LUM_BITS, AC_LUM_VALS))
@@ -434,13 +473,14 @@ def decode_coefficients(b: bytes, max_mcus: int | None = None):
             ncomp = body[5]
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    # the honest seam: subsampled (4:2:0/4:2:2) streams
-                    # need fractional-block upsampling — not implemented
+                hi, vi = samp >> 4, samp & 15
+                if hi not in (1, 2) or vi not in (1, 2):
+                    # the honest seam: sampling factors beyond 2 need
+                    # fractional upsampling kernels — not implemented
                     raise NotImplementedError(
-                        "only 1x1 sampling (4:4:4/grayscale) supported"
+                        f"sampling factor {hi}x{vi} unsupported (1-2 only)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -454,7 +494,9 @@ def decode_coefficients(b: bytes, max_mcus: int | None = None):
             ns = body[0]
             for si in range(ns):
                 cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
-                idx = next(i for i, (c, _) in enumerate(comps) if c == cid)
+                idx = next(
+                    i for i, (c, _, _, _) in enumerate(comps) if c == cid
+                )
                 scan.append((idx, tabs >> 4, tabs & 15))
             entropy_at = pos + 2 + ln
             break
@@ -464,9 +506,13 @@ def decode_coefficients(b: bytes, max_mcus: int | None = None):
         raise ValueError("JPEG missing SOF/SOS")
 
     br = _BitReader(_destuff(b[entropy_at:]))
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    nblocks = bw_ * bh_
-    coefs = [np.zeros((nblocks, 64), dtype=np.int32) for _ in comps]
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component block-grid dims (MCU-padded)
+    grids = [(mcux * hi, mcuy * vi) for _, _, hi, vi in comps]
+    coefs = [np.zeros((gw * gh, 64), dtype=np.int32) for gw, gh in grids]
     preds = [0] * len(comps)
 
     def read_sym(lut) -> int:
@@ -478,34 +524,46 @@ def decode_coefficients(b: bytes, max_mcus: int | None = None):
         br.pos += length
         return int(sym_t[v])
 
-    n_scan = nblocks if max_mcus is None else min(nblocks, max_mcus)
+    def read_block(blk, ci, dct, act) -> None:
+        dc_lut, ac_lut = dc_luts[dct], ac_luts[act]
+        size = read_sym(dc_lut)
+        diff = _extend(br.take(size), size)
+        preds[ci] += diff
+        blk[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = read_sym(ac_lut)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:             # ZRL
+                    k += 16
+                    continue
+                break                   # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            blk[k] = _extend(br.take(s), s)
+            k += 1
+
+    n_mcus = mcux * mcuy
+    n_scan = n_mcus if max_mcus is None else min(n_mcus, max_mcus)
     for n in range(n_scan):
+        my, mx = divmod(n, mcux)
         for ci, dct, act in scan:
-            dc_lut, ac_lut = dc_luts[dct], ac_luts[act]
-            blk = coefs[ci][n]
-            size = read_sym(dc_lut)
-            diff = _extend(br.take(size), size)
-            preds[ci] += diff
-            blk[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = read_sym(ac_lut)
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:         # ZRL
-                        k += 16
-                        continue
-                    break               # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                blk[k] = _extend(br.take(s), s)
-                k += 1
+            _, _, hi, vi = comps[ci]
+            gw = grids[ci][0]
+            # Hi x Vi data units per MCU, raster order inside the MCU
+            for by in range(vi):
+                for bx in range(hi):
+                    idx = (my * vi + by) * gw + (mx * hi + bx)
+                    read_block(coefs[ci][idx], ci, dct, act)
     meta = {
         "h": h,
         "w": w,
         "ncomp": len(comps),
-        "qtabs": [qtables[tq] for _, tq in comps],
+        "qtabs": [qtables[tq] for _, tq, _, _ in comps],
+        "sampling": [(hi, vi) for _, _, hi, vi in comps],
+        "grids": grids,
     }
     return meta, coefs
 
@@ -518,20 +576,28 @@ def decode_baseline(b: bytes) -> np.ndarray:
     transform run vectorized over all blocks at once."""
     meta, coefs = decode_coefficients(b)
     h, w, ncomp = meta["h"], meta["w"], meta["ncomp"]
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    hmax = max(hi for hi, _ in meta["sampling"])
+    vmax = max(vi for _, vi in meta["sampling"])
     planes = []
-    for zz, qt in zip(coefs, meta["qtabs"]):
+    for zz, qt, (hi, vi), (gw, gh) in zip(
+        coefs, meta["qtabs"], meta["sampling"], meta["grids"]
+    ):
         deq = zz.astype(np.float64) * qt[None, :]
         raster = np.zeros_like(deq)
         raster[:, ZIGZAG] = deq         # inverse zigzag
         blocks = raster.reshape(-1, 8, 8)
         spatial = np.einsum("xu,nuv,yv->nxy", _A.T, blocks, _A.T)
         img = (
-            spatial.reshape(bh_, bw_, 8, 8)
+            spatial.reshape(gh, gw, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh_ * 8, bw_ * 8)[:h, :w]
+            .reshape(gh * 8, gw * 8)
         )
-        planes.append(img + 128.0)
+        if hi != hmax or vi != vmax:
+            # subsampled chroma: pixel-replication upsample (box kernel
+            # — the inverse of the encoder's 2x2 box average)
+            img = np.repeat(np.repeat(img, vmax // vi, axis=0),
+                            hmax // hi, axis=1)
+        planes.append(img[:h, :w] + 128.0)
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

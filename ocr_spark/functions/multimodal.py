@@ -340,12 +340,13 @@ def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
 def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
     """Real decode for raster images (pure NumPy, no codec libraries):
     24-bit BMP, binary PPM, 8-bit truecolor PNG (stdlib zlib inflate +
-    NumPy unfiltering), and baseline JPEG (sequential DCT, grayscale or
-    4:4:4 — the layout of the reference's own test_image.jpg; see
-    ocr_spark/functions/jpeg.py), routed by magic bytes.  Progressive/
-    subsampled JPEG and audio/video remain the single marked seam where
-    PIL/librosa/pyav would plug in — the distributed plumbing around
-    this function is identical either way."""
+    NumPy unfiltering), and baseline JPEG (sequential DCT — grayscale,
+    4:4:4 as in the reference's own test_image.jpg, 4:2:0, and 4:2:2;
+    see ocr_spark/functions/jpeg.py), routed by magic bytes.
+    Progressive JPEG, compressed audio, and inter-coded video remain
+    the single marked seam where PIL/librosa/pyav would plug in — the
+    distributed plumbing around this function is identical either
+    way."""
     if media_type == "image":
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
@@ -370,9 +371,9 @@ def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
         return _decode_mjpeg_avi(payload)
     raise NotImplementedError(
         f"no in-sandbox codec for media_type={media_type!r} "
-        f"magic={payload[:4]!r}; progressive/subsampled jpeg, compressed "
-        "audio, and video decode needs PIL/librosa/pyav (deterministic "
-        "stub path: decode_media_features)"
+        f"magic={payload[:4]!r}; progressive jpeg, compressed audio, "
+        "and inter-coded video decode needs PIL/librosa/pyav "
+        "(deterministic stub path: decode_media_features)"
     )
 
 

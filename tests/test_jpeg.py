@@ -106,11 +106,44 @@ def test_progressive_sof_rejected():
         decode_coefficients(bytes(b))
 
 
-def test_subsampled_jpeg_rejected():
+def test_420_gray_content_exact():
+    # flat gray tiles: chroma is a flat 128 plane, so the 2x2 box
+    # average and replication upsample are both exact; luma blocks are
+    # flat -> the whole 4:2:0 pipeline round-trips exactly
+    rng = np.random.RandomState(41)
+    img = np.repeat(
+        _flat_tile_image(rng.randint(0, 256, size=(2, 4)))[:, :, None], 3, axis=2
+    )
+    out = decode_baseline(encode_baseline(img, subsampling="420"))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_420_random_color_bounded():
+    rng = np.random.RandomState(43)
+    img = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    out = decode_baseline(encode_baseline(img, subsampling="420"))
+    # chroma lost to 2x2 averaging is real information loss; luma must
+    # stay near-lossless.  Check per-channel mean drift instead of max.
+    assert out.shape == img.shape
+    assert abs(float(out.mean()) - float(img.mean())) < 3
+
+
+def test_422_gray_content_exact():
+    rng = np.random.RandomState(47)
+    img = np.repeat(
+        _flat_tile_image(rng.randint(0, 256, size=(3, 2)))[:, :, None], 3, axis=2
+    )
+    out = decode_baseline(encode_baseline(img, subsampling="422"))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+def test_oversampled_jpeg_rejected():
     b = bytearray(encode_baseline(np.zeros((8, 8, 3), dtype=np.uint8)))
     i = bytes(b).find(b"\xff\xc0")
     # SOF0 body: len(2) prec(1) h(2) w(2) ncomp(1), comp0 = id,samp,tq
-    b[i + 2 + 2 + 5 + 1 + 1] = 0x22     # comp 0 sampling 1x1 -> 2x2
+    b[i + 2 + 2 + 5 + 1 + 1] = 0x33     # comp 0 sampling 1x1 -> 3x3
     with pytest.raises(NotImplementedError, match="sampling"):
         decode_coefficients(bytes(b))
 
