@@ -1565,51 +1565,53 @@ def _q_sessionize(spark, sf_dir):
 # Conversion funnel view -> click -> purchase with a 1-hour step
 # window: per user, the first view, the first click within an hour
 # AFTER that view, the first purchase within an hour after that click.
-# The sequencing constraint needs the previous stage's timestamp, so
-# the plan is three stage aggregates chained by user_id equi-joins —
-# all three shuffles hash on user_id, so AQE coalesces them onto one
-# exchange layout; no window over the full event stream is needed
-# (each stage prunes to one event type BEFORE its aggregate, so the
-# map-side combine sees only that type's rows).  Microsecond integer
+# Plan shape: ONE scan of events and ONE hash exchange on user_id —
+# the three sequencing stages are cascaded unbounded window minima over
+# the same partitioning (each stage's predicate references the previous
+# stage's window result), then the per-user aggregate reuses the window
+# partitioning with no further shuffle (pinned: the executed plan has
+# exactly 1 Exchange; the staged-join alternative measured 10).  At
+# 100 TB that is one pass over the event log instead of three
+# type-pruned scans plus three join shuffles.  Microsecond integer
 # arithmetic end-to-end — no float time math to diverge across engines.
 def _q_funnel(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     hour = 3_600_000_000
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min(us).alias("t_view"))
+    w = Window.partitionBy("user_id")
+    x = ev.select("user_id", "event_type", us.alias("t"))
+    x = x.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .select("user_id", us.alias("t"))
-        .join(v, "user_id")
-        .filter((F.col("t") > F.col("t_view"))
-                & (F.col("t") <= F.col("t_view") + hour))
-        .groupBy("user_id")
-        .agg(F.min("t").alias("t_click"))
+    x = x.withColumn(
+        "t_click",
+        F.min(F.when(
+            (F.col("event_type") == "click")
+            & (F.col("t") > F.col("t_view"))
+            & (F.col("t") <= F.col("t_view") + hour),
+            F.col("t"),
+        )).over(w),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", us.alias("t"))
-        .join(c, "user_id")
-        .filter((F.col("t") > F.col("t_click"))
-                & (F.col("t") <= F.col("t_click") + hour))
-        .groupBy("user_id")
-        .agg(F.min("t").alias("t_purchase"))
+    x = x.withColumn(
+        "t_purchase",
+        F.min(F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("t") > F.col("t_click"))
+            & (F.col("t") <= F.col("t_click") + hour),
+            F.col("t"),
+        )).over(w),
     )
     return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            (
+        x.filter(F.col("t_view").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
                 F.lit(1)
                 + F.col("t_click").isNotNull().cast("int")
                 + F.col("t_purchase").isNotNull().cast("int")
             ).cast("long").alias("stage"),
-            F.col("t_view").alias("t_view_us"),
+            F.min("t_view").alias("t_view_us"),
         )
     )
 
@@ -1646,18 +1648,30 @@ def _q_stratified_sample(spark, sf_dir):
 def _q_snapshot_delta(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
     a = d.select("doc_id", F.md5("text").alias("h_a"))
-    surviving = d.filter(F.col("doc_id") % 7 != 0)
-    edited = surviving.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 5 == 0,
-               F.concat(F.col("text"), F.lit(" v2")))
-        .otherwise(F.col("text")).alias("text"),
+    # snapshot B derives in ONE scan: each doc conditionally emits its
+    # surviving/edited row and its re-keyed "new doc" row via a single
+    # explode (the union-of-two-filters formulation scanned the table
+    # twice — at 100 TB that is a full extra corpus read)
+    edited_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    b_rows = F.array(
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.struct(F.col("doc_id").alias("doc_id"),
+                     edited_text.alias("text")),
+        ),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.struct((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     F.col("text").alias("text")),
+        ),
     )
-    new_docs = d.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    b = edited.unionByName(new_docs).select(
-        "doc_id", F.md5("text").alias("h_b")
+    b = (
+        d.select(F.explode(b_rows).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select(F.col("r.doc_id").alias("doc_id"),
+                F.md5("r.text").alias("h_b"))
     )
     j = a.join(b, "doc_id", "full_outer")
     status = (

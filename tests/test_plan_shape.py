@@ -102,3 +102,22 @@ def test_ivf_broadcasts_centroids_only(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_funnel_one_scan_one_exchange(spark):
+    """The windowed funnel is ONE pass over the event log and ONE hash
+    exchange on user_id: the three sequencing stages are cascaded
+    windows over the same partitioning and the final per-user aggregate
+    reuses it (the staged-join formulation measured 10 Exchanges)."""
+    plan = _plan(entry._q_funnel(spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_snapshot_delta_two_scans(spark):
+    """Snapshot A and derived snapshot B each cost exactly one corpus
+    scan (B's survive/edit/re-key rows emit from a single conditional
+    explode, not a union of two filters)."""
+    plan = _plan(entry._q_snapshot_delta(spark, SF))
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Union" not in plan, plan
