@@ -315,13 +315,28 @@ def _sql_ivf_ranked(cents: list[list[float]]) -> str:
 def _docs_with_planted_dups(spark, sf_dir: str) -> DataFrame:
     """documents plus planted near-duplicates (doc_id < 25 re-emitted as
     doc_id + 1000000 with the first 3 words dropped) so dedup queries
-    have non-trivial positives at every sf."""
+    have non-trivial positives at every sf.  ONE corpus scan: each doc
+    conditionally emits its original row and its mutated twin via a
+    single explode (the union-of-filter formulation scanned the table
+    twice per reference)."""
     d = _docs_wide(spark, sf_dir).select("doc_id", "text")
-    mutated = d.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
-        F.expr("concat_ws(' ', slice(split(text, ' '), 4, 1000000))").alias("text"),
+    rows = F.array(
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+        F.when(
+            F.col("doc_id") < 25,
+            F.struct(
+                (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+                F.expr(
+                    "concat_ws(' ', slice(split(text, ' '), 4, 1000000))"
+                ).alias("text"),
+            ),
+        ),
     )
-    return d.unionByName(mutated)
+    return (
+        d.select(F.explode(rows).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select("r.doc_id", "r.text")
+    )
 
 
 def _shingle_fps(alld: DataFrame) -> DataFrame:
@@ -807,7 +822,19 @@ def _q_ngram_jaccard(spark, sf_dir):
 # equi-join whose cost is ~linear in corpus size; both engines run the
 # identical deterministic banding, so results match by construction.
 def _q_minhash_lsh(spark, sf_dir):
-    s = _shingle_fps(_docs_with_planted_dups(spark, sf_dir))
+    # The shingle table is MATERIALIZED once (localCheckpoint — the
+    # sandbox stand-in for writing the signature/shingle table to
+    # storage, which is what a production dedup pipeline does): it is
+    # referenced by the signature aggregate AND both sides of the
+    # candidate-verify self-join, and Spark's exchange reuse does NOT
+    # fire across self-join aliases (measured: 12 corpus scans / 0
+    # ReusedExchange before this; 1 corpus scan after).  The shingle
+    # table is (doc_id, int64) — far smaller than the corpus text it
+    # derives from, so materializing is strictly cheaper than ONE
+    # rescan, let alone five.
+    s = _shingle_fps(_docs_with_planted_dups(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     # all K min-hashes AND the per-doc shingle count in ONE aggregation
     # over the raw shingle rows (no x8 explode): 8x less pre-shuffle data,
     # map-side partial mins, and one fewer recompute of the shingle
@@ -821,7 +848,7 @@ def _q_minhash_lsh(spark, sf_dir):
             for k in range(8)
         ],
         F.count(F.lit(1)).alias("n_sh"),
-    )
+    ).localCheckpoint(eager=False)      # tiny; self-joined via bands
     band_structs = F.array(
         *[
             F.struct(
@@ -832,9 +859,13 @@ def _q_minhash_lsh(spark, sf_dir):
             for j in range(4)
         ]
     )
+    # n_sh RIDES THROUGH the band rows and the candidate join, so the
+    # exact-verify stage needs no join back to the signature table
+    # (which would re-run its aggregation twice — self-join aliases get
+    # no exchange reuse)
     bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("b")
-    ).select("doc_id", "b.band", "b.mh0", "b.mh1")
+        "doc_id", "n_sh", F.explode(band_structs).alias("b")
+    ).select("doc_id", "n_sh", "b.band", "b.mh0", "b.mh1")
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     cand = (
@@ -848,26 +879,21 @@ def _q_minhash_lsh(spark, sf_dir):
         .select(
             F.col("ba.doc_id").alias("doc_a"),
             F.col("bb.doc_id").alias("doc_b"),
+            F.col("ba.n_sh").alias("n_a"),
+            F.col("bb.n_sh").alias("n_b"),
         )
         .distinct()
     )
-    # n_sh rides on the sig aggregation (identical subtree on every use,
-    # so Spark's exchange reuse dedups the recomputation)
-    n = sig.select("doc_id", "n_sh")
     sa = s.select(F.col("doc_id").alias("doc_a"), "fp")
     sb = s.select(F.col("doc_id").alias("doc_b"), "fp")
     shared = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "fp"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).cast("double").alias("shared"))
     )
-    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        shared.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
+        shared.select(
             "doc_a",
             "doc_b",
             F.floor(
@@ -944,7 +970,11 @@ def _q_simhash(spark, sf_dir):
 # band keys (vs round 1's 8-bit bytes) keep band buckets small as the
 # corpus grows — the band-join stays ~linear instead of quadratic.
 def _q_simhash_neardup(spark, sf_dir):
-    sim = _simhash_df(spark, sf_dir)
+    # materialize the (doc_id, simhash) table once — the band self-join
+    # evaluates its subtree twice otherwise (no exchange reuse across
+    # self-join aliases), and the fingerprint computation is the
+    # expensive part.  Tiny table: 9 bytes/doc.
+    sim = _simhash_df(spark, sf_dir).localCheckpoint(eager=False)
     banded = sim.select(
         "doc_id",
         "simhash",
@@ -1153,7 +1183,11 @@ def _q_embedding_ann_lsh_mt(spark, sf_dir):
     dims = _emb_dims(sf_dir)
     b = _lsh_mt_bits(n)
     e = _tbl(spark, sf_dir, "embeddings")
-    ed = _ed_with_norm(e)
+    # ed: scanned by the bucket table AND both verify sides; banded:
+    # self-joined.  Each is materialized once — without the checkpoints
+    # the 16-table hyperplane bucket computation runs twice and the
+    # table is scanned four times (no exchange reuse across aliases).
+    ed = _ed_with_norm(e).localCheckpoint(eager=False)
     vfp = ed.withColumn(
         "vfp", F.transform("v", lambda x: F.floor(x * F.lit(1000000.0)))
     )
@@ -1166,7 +1200,7 @@ def _q_embedding_ann_lsh_mt(spark, sf_dir):
     ])
     banded = vfp.select("vec_id", F.explode(tb).alias("tb")).select(
         "vec_id", "tb.t", "tb.bkt"
-    )
+    ).localCheckpoint(eager=False)
     ba = banded.alias("ba")
     bb = banded.alias("bb")
     cand = (
@@ -1251,20 +1285,35 @@ def _q_embedding_neardup(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    planted = ed.filter(F.col("vec_id") < 10).select(
-        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
-        F.transform("v", lambda x: x * F.lit(2.0)).alias("v"),
+    # ONE table scan: each vector conditionally emits itself and its
+    # planted scaled twin via a single explode (union-of-filter scanned
+    # the table twice)
+    rows = F.array(
+        F.struct(F.col("vec_id").alias("vec_id"), F.col("v").alias("v")),
+        F.when(
+            F.col("vec_id") < 10,
+            F.struct(
+                (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+                F.transform("v", lambda x: x * F.lit(2.0)).alias("v"),
+            ),
+        ),
     )
-    alle = ed.unionByName(planted)
+    alle = (
+        ed.select(F.explode(rows).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select("r.vec_id", "r.v")
+    )
     nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     bkt = sum(
         F.when(F.element_at("v", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(n_bits)
     )
-    # long, not int — see the bucket-width note in _q_embedding_ann_lsh
+    # long, not int — see the bucket-width note in _q_embedding_ann_lsh.
+    # Materialized once: the bucket self-join would otherwise evaluate
+    # the norm+bucket subtree twice (no exchange reuse across aliases).
     alle = alle.select(
         "vec_id", "v", nrm.alias("nrm"), bkt.cast("long").alias("bkt")
-    )
+    ).localCheckpoint(eager=False)
     a = alle.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
                     F.col("nrm").alias("na"), "bkt")
     b = alle.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
@@ -1309,14 +1358,16 @@ def _ivf_sim(a, b, na, nb):
     return F.floor(dot / (F.col(na) * F.col(nb)) * F.lit(1000000.0)).cast("long")
 
 
-def _ivf_ranked(spark, sf_dir):
+def _ivf_ranked_plan(spark, sf_dir):
     """Shared IVF coarse-quantizer assignment: every vector ranked
     against the broadcast TRAINED centroid table (_ivf_centroids,
     deterministic sampled k-means injected as literals) by fixed-point
     cosine (ties to the lowest cell id).  rn == 1 is a vector's primary
     cell; rn <= p are its p closest cells.  Both IVF queries and both
     DuckDB oracles (_sql_ivf_ranked) build on this one definition, so
-    the quantizer rule lives in exactly two places (Spark + SQL)."""
+    the quantizer rule lives in exactly two places (Spark + SQL).
+    Un-checkpointed plan — tests assert the broadcast-assignment shape
+    here; queries use _ivf_ranked below."""
     e = _tbl(spark, sf_dir, "embeddings")
     ed = _ed_with_norm(e)
     cents = spark.createDataFrame(
@@ -1335,6 +1386,16 @@ def _ivf_ranked(spark, sf_dir):
                 _ivf_sim("v", "cv", "nrm", "cn").alias("c_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
     )
+
+
+def _ivf_ranked(spark, sf_dir):
+    """_ivf_ranked_plan materialized once per query (localCheckpoint):
+    both IVF queries filter it twice (probe side rn<=p, index side
+    rn<=i) and the quantizer assignment is the expensive subtree —
+    without the checkpoint each filter re-runs it (no exchange reuse
+    across the two references; measured 8.8 s -> 2.6 s for ivf_mp at
+    sf0.1)."""
+    return _ivf_ranked_plan(spark, sf_dir).localCheckpoint(eager=False)
 
 
 def _q_embedding_ann_ivf(spark, sf_dir):
@@ -1394,7 +1455,12 @@ def _q_embedding_ann_ivf_mp(spark, sf_dir):
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    ed = _ed_with_norm(_tbl(spark, sf_dir, "embeddings"))
+    # materialized once: the verify stage attaches vectors to BOTH pair
+    # sides (q/nv below) — without the checkpoint that is two more
+    # table scans + norm recomputations
+    ed = _ed_with_norm(_tbl(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
     q = ed.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
                   F.col("nrm").alias("qn"))
     nv = ed.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")

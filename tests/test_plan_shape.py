@@ -94,10 +94,14 @@ def test_ann_lsh_is_equi_join_not_cross(spark):
 
 def test_ivf_broadcasts_centroids_only(spark):
     """IVF's one intentional cross join is vectors x broadcast centroid
-    table (assignment); the intra-cell search must stay an equi-join."""
+    table (assignment — asserted on the un-checkpointed quantizer plan,
+    since the query materializes it once via localCheckpoint); the
+    intra-cell search must stay an equi-join."""
+    assign_plan = _plan(entry._ivf_ranked_plan(spark, SF))
+    assert "CartesianProduct" not in assign_plan, assign_plan
+    assert "BroadcastNestedLoopJoin" in assign_plan, assign_plan
     plan = _plan(entry._q_embedding_ann_ivf(spark, SF))
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan  # the centroid assign
     # candidate search joins hash on the cell key
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
@@ -121,3 +125,16 @@ def test_snapshot_delta_two_scans(spark):
     plan = _plan(entry._q_snapshot_delta(spark, SF))
     assert plan.count("Scan parquet") == 2, plan
     assert "Union" not in plan, plan
+
+
+def test_dedup_family_materializes_shared_tables(spark):
+    """The self-joined dedup/ANN queries materialize their shared
+    derived tables (shingles/signatures/buckets) via localCheckpoint —
+    the visible plan reads the checkpoint (ExistingRDD), not the corpus
+    N times (q_minhash_lsh measured 12 parquet scans / 0 ReusedExchange
+    before this design)."""
+    for q in (entry._q_minhash_lsh, entry._q_simhash_neardup,
+              entry._q_embedding_neardup):
+        plan = _plan(q(spark, SF))
+        assert plan.count("Scan parquet") == 0, plan
+        assert "ExistingRDD" in plan, plan
