@@ -466,6 +466,8 @@ def decode_coefficients(b: bytes, max_mcus: int | None = None):
                 (dc_luts if tc == 0 else ac_luts)[th] = _decode_lut(bits, vals)
                 i += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("truncated SOF segment")
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             h = int.from_bytes(body[1:3], "big")
@@ -491,12 +493,17 @@ def decode_coefficients(b: bytes, max_mcus: int | None = None):
             if int.from_bytes(body[0:2], "big") != 0:
                 raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:            # SOS
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             for si in range(ns):
                 cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
                 idx = next(
-                    i for i, (c, _, _, _) in enumerate(comps) if c == cid
+                    (i for i, (c, _, _, _) in enumerate(comps) if c == cid),
+                    None,
                 )
+                if idx is None:
+                    raise ValueError(f"SOS references unknown component {cid}")
                 scan.append((idx, tabs >> 4, tabs & 15))
             entropy_at = pos + 2 + ln
             break
@@ -504,6 +511,15 @@ def decode_coefficients(b: bytes, max_mcus: int | None = None):
         pos += 2 + ln
     if h is None or entropy_at is None:
         raise ValueError("JPEG missing SOF/SOS")
+    # poison-payload hardening: every table id the scan references must
+    # have been defined by a DQT/DHT segment (malformed -> ValueError,
+    # never a KeyError escaping into an executor)
+    for _, tq, _, _ in comps:
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+    for _, dct, act in scan:
+        if dct not in dc_luts or act not in ac_luts:
+            raise ValueError(f"missing Huffman table dc={dct}/ac={act}")
 
     br = _BitReader(_destuff(b[entropy_at:]))
     hmax = max(hi for _, _, hi, _ in comps)

@@ -214,7 +214,12 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     bpp = 3
     stride = w * bpp
-    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as ex:            # poison-payload hardening: a
+        # corrupt deflate stream is a malformed payload, not a crash
+        raise ValueError(f"PNG IDAT inflate failed: {ex}") from ex
+    data = np.frombuffer(raw, dtype=np.uint8)
     if len(data) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     data = data.reshape(h, stride + 1)
