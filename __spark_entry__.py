@@ -565,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jpeg_decode": _q_jpeg_decode,
         "q_wav_decode": _q_wav_decode,
         "q_mjpeg_frames": _q_mjpeg_frames,
+        "q_binary_decode_envelope": _q_binary_decode_envelope,
         # --- extraction/multimodal pipelines (precomputed-table oracles) ---
         "x_extract_documents": _x_extract_documents,
         "x_extract_transcripts": _x_extract_transcripts,
@@ -2057,6 +2058,32 @@ def _q_mjpeg_frames(spark, sf_dir):
     return decode_videos_real(d)
 
 
+# PRODUCTION-contract decode over a mixed, partially-POISONED binary
+# corpus: formats cycle BMP/PNG/JPEG and every doc_id % 10 == 7 payload
+# is truncated mid-marker.  The operator (decode_binary_images) must
+# emit a status='error' row for every poisoned payload and exact
+# closed-form geometry for every healthy one — the oracle checks BOTH,
+# so a decoder that crashes the stage OR misclassifies a byte stream
+# breaks the hash.  This is the error-envelope contract a 1000-executor
+# ingestion job needs: one bad payload never fails a task.
+def _q_binary_decode_envelope(spark, sf_dir):
+    from ocr_spark.functions.multimodal import (
+        decode_binary_images,
+        synthesize_mixed_payloads,
+    )
+
+    d = _docs_wide(spark, sf_dir).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            yield synthesize_mixed_payloads(pdf)
+
+    withp = d.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return decode_binary_images(withp).select(
+        "doc_id", "status", "width", "height", "n_px", "px_sum"
+    )
+
+
 # Extraction UDF over HTML-wrapped documents.  Oracle: precomputed
 # expected parquet from the single-process kernel (tools/gen_expected.py)
 # — the driver's rows+schema+hash gates apply in full.
@@ -2872,6 +2899,39 @@ def oracle_sql() -> dict[str, str]:
                      1 + doc_id % 4 AS nf
               FROM documents
             )
+        """,
+        "q_binary_decode_envelope": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 7 THEN 'error' ELSE 'ok' END
+                       AS status,
+                   CASE WHEN doc_id % 10 = 7 THEN 0
+                        WHEN doc_id % 3 = 2 THEN 8 * (1 + doc_id % 3)
+                        ELSE 8 + doc_id % 16 END::BIGINT AS width,
+                   CASE WHEN doc_id % 10 = 7 THEN 0
+                        WHEN doc_id % 3 = 2 THEN 8 * (1 + doc_id % 2)
+                        ELSE 4 + doc_id % 8 END::BIGINT AS height,
+                   CASE WHEN doc_id % 10 = 7 THEN 0
+                        WHEN doc_id % 3 = 2
+                             THEN 64 * (1 + doc_id % 3) * (1 + doc_id % 2)
+                        ELSE (8 + doc_id % 16) * (4 + doc_id % 8)
+                        END::BIGINT AS n_px,
+                   CASE WHEN doc_id % 10 = 7 THEN 0
+                        WHEN doc_id % 3 = 0
+                             THEN (doc_id % 256) * (8 + doc_id % 16)
+                                  * (4 + doc_id % 8) * 3
+                        WHEN doc_id % 3 = 1
+                             THEN 3 * (4 + doc_id % 8)
+                                  * ((8 + doc_id % 16) * (doc_id % 200)
+                                     + ((8 + doc_id % 16)
+                                        * (8 + doc_id % 16 - 1)) // 2)
+                        ELSE 192 * ((1 + doc_id % 3) * (1 + doc_id % 2)
+                                    * (doc_id % 151)
+                                    + 5 * (1 + doc_id % 2)
+                                      * ((1 + doc_id % 3) * (doc_id % 3)) // 2
+                                    + 11 * (1 + doc_id % 3)
+                                      * ((1 + doc_id % 2) * (doc_id % 2)) // 2)
+                        END::BIGINT AS px_sum
+            FROM documents
         """,
         "q_sessionize": """
             WITH g AS (

@@ -775,6 +775,86 @@ def decode_videos_real(df: DataFrame) -> DataFrame:
     return pruned.mapInPandas(gen, schema=VIDEO_DECODE_SCHEMA_DDL)
 
 
+def synthesize_mixed_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Mixed-format, partially-POISONED payload fixture: per doc_id the
+    format cycles BMP / PNG / JPEG (each with the same closed-form
+    geometry as its dedicated fixture), and every doc_id % 10 == 7
+    payload is truncated to 25 bytes — guaranteed mid-marker, so decode
+    MUST yield an error row, never a crash."""
+    from ocr_spark.functions.jpeg import encode_baseline
+
+    payloads = []
+    for doc_id in pdf["doc_id"]:
+        d = int(doc_id)
+        kind = d % 3
+        if kind == 0:
+            w, h, fill = 8 + d % 16, 4 + d % 8, d % 256
+            arr = np.full((h, w, 3), fill, dtype=np.uint8)
+            p = encode_bmp(arr)
+        elif kind == 1:
+            w, h, base = 8 + d % 16, 4 + d % 8, d % 200
+            row = (base + np.arange(w, dtype=np.int64)) % 256
+            arr = np.repeat(row[None, :, None], h, axis=0).repeat(3, axis=2)
+            p = encode_png(arr.astype(np.uint8), filters="cycle")
+        else:
+            tx, ty, base = 1 + d % 3, 1 + d % 2, d % 151
+            bx = np.arange(tx, dtype=np.int64)
+            by = np.arange(ty, dtype=np.int64)
+            tiles = base + 5 * bx[None, :] + 11 * by[:, None]
+            arr = np.kron(tiles, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+            p = encode_baseline(arr)
+        if d % 10 == 7:
+            p = p[:25]
+        payloads.append(p)
+    return pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                         "payload": payloads})
+
+
+BINARY_DECODE_SCHEMA_DDL = (
+    "doc_id bigint, status string, err string, width bigint, "
+    "height bigint, n_px bigint, px_sum bigint"
+)
+
+
+def decode_binary_images(df: DataFrame) -> DataFrame:
+    """PRODUCTION-contract image decode over a real (doc_id, payload)
+    binary column: every payload decodes independently inside
+    mapInPandas, and a malformed payload yields a status='error' row
+    with the error class — one poison byte stream can NEVER fail the
+    stage (the same error-envelope contract as the text extractor's
+    status column; decoder exception classes are pinned to
+    ValueError/NotImplementedError by the mutation fuzz in
+    tests/test_jpeg.py).  Narrow op, zero shuffle."""
+    pruned = df.select("doc_id", "payload")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "status", "err", "width",
+                                    "height", "n_px", "px_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(int(doc_id))
+                try:
+                    arr = decode_media_real(bytes(payload), "image")
+                    h, w = arr.shape[:2]
+                    rows["status"].append("ok")
+                    rows["err"].append(None)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_px"].append(w * h)
+                    rows["px_sum"].append(int(arr.astype(np.int64).sum()))
+                except (ValueError, NotImplementedError) as ex:
+                    rows["status"].append("error")
+                    rows["err"].append(f"{type(ex).__name__}: {ex}"[:200])
+                    for k in ("width", "height", "n_px", "px_sum"):
+                        rows[k].append(0)
+            out = pd.DataFrame(rows)
+            for k in ("doc_id", "width", "height", "n_px", "px_sum"):
+                out[k] = out[k].astype("int64")
+            yield out
+
+    return pruned.mapInPandas(gen, schema=BINARY_DECODE_SCHEMA_DDL)
+
+
 def decode_media_features(df: DataFrame) -> DataFrame:
     """Distributed media feature extraction: mapInPandas over Arrow
     batches of (doc_id, media_type, payload).  Narrow op — partitioning
