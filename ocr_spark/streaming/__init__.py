@@ -1,5 +1,6 @@
 from ocr_spark.streaming.extract_stream import (  # noqa: F401
     run_dedup_stream,
+    run_enrich_stream,
     run_extract_stream,
     run_turn_rate_stream,
     stream_transcripts,

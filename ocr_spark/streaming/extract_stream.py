@@ -110,6 +110,36 @@ def run_extract_stream(
     return writer.start()
 
 
+def run_enrich_stream(
+    spark: SparkSession,
+    input_path: str,
+    dim_df: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Stream-static enrichment join: each streaming turn is joined
+    against a STATIC dimension table (e.g. conversation metadata /
+    language routing) on conv_id.  Stream-static joins are stateless —
+    no watermark, no join state to grow: every micro-batch re-plans
+    against the current static side, and a small dimension broadcasts,
+    so at 10^12 turns this stays a per-batch map-side hash join.  Left
+    join: an unmatched turn passes through with NULL enrichment (the
+    ingest contract never drops data because a dim row is late)."""
+    turns = stream_transcripts(spark, input_path, max_files_per_trigger)
+    enriched = turns.join(dim_df, "conv_id", "left")
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_dedup_stream(
     spark: SparkSession,
     input_path: str,

@@ -286,3 +286,36 @@ def test_stream_cli_drain(spark, dirs, tmp_path):
     # output is namespaced per mode, mirroring the checkpoint
     out = spark.read.parquet(os.path.join(outp, "extract"))
     assert out.count() == len(pdf)
+
+
+def test_stream_static_enrich_join(spark, dirs):
+    """Stream-static enrichment: every streamed turn joins the static
+    dim on conv_id (broadcast, stateless — no watermark/state to grow);
+    unmatched turns pass through with NULL enrichment, never dropped."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.streaming.extract_stream import run_enrich_stream
+
+    inp, outp, ckpt = dirs
+    pdf = gen_transcripts(n_convs=30)
+    _write_batch(spark, pdf, inp)
+    conv_ids = sorted(pdf["conv_id"].unique())
+    # dim covers only half the conversations -> the rest must still flow
+    dim = spark.createDataFrame(
+        [(c, f"route-{i % 3}") for i, c in enumerate(conv_ids[: len(conv_ids) // 2])],
+        "conv_id string, route string",
+    )
+    q = run_enrich_stream(spark, inp, F.broadcast(dim), outp, ckpt,
+                          available_now=True)
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = spark.read.parquet(outp)
+    assert got.count() == len(pdf)
+    covered = set(conv_ids[: len(conv_ids) // 2])
+    rows = got.select("conv_id", "route").distinct().collect()
+    for r in rows:
+        if r["conv_id"] in covered:
+            assert r["route"] is not None
+        else:
+            assert r["route"] is None
