@@ -135,6 +135,81 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _shuffle_run(master: str, shuffle_parts: int,
+                 turns_per_doc: int = 180, reps: int = 2) -> dict:
+    """One SHUFFLE-HEAVY job at the given parallelism: TF-IDF-shaped
+    aggregation over derived turns — explode to words, two hash
+    aggregates (tf, df), a join on the word key, and a top-3 window per
+    conversation.  Complements the pure-map extraction job in the
+    scaling evidence: extraction has ONE exchange and no reduce-side
+    work, so it cannot show whether the engine's shuffle path (hash
+    exchange + sort + reduce) also scales N->4N.  Metric = input
+    turns/sec through the whole pipeline."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ocr_spark.plans.session import build_session
+    from ocr_spark.sources.transcripts import derive_transcripts_from_documents
+
+    def pipeline(tr):
+        # regex canonicalization BEFORE the explode mirrors the real
+        # pipeline queries (q_word_count/q_tfidf) and keeps the job
+        # compute-bearing: a bare split+explode is pure memory traffic,
+        # and on this VM the bus saturates around 8 cores (BASELINE.md
+        # bandwidth wall) — which would grade the host bus, not the
+        # engine's shuffle path
+        canon = F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                        r"[^a-z ]+", " "))
+        words = tr.select(
+            "conv_id",
+            F.explode(F.split(canon, " +")).alias("w"),
+        ).filter(F.length("w") > 0)
+        tf = words.groupBy("conv_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = words.groupBy("w").agg(
+            F.countDistinct("conv_id").alias("dfreq")
+        )
+        win = Window.partitionBy("conv_id").orderBy(
+            F.col("score").desc(), F.col("w")
+        )
+        return (
+            tf.join(dfreq, "w")
+            .select(
+                "conv_id", "w",
+                (F.col("tf") * F.lit(1000000) / F.col("dfreq")).alias("score"),
+            )
+            .withColumn("r", F.row_number().over(win))
+            .filter(F.col("r") <= 3)
+        )
+
+    spark = build_session("bench-shuffle-scaling", master=master,
+                          shuffle_partitions=shuffle_parts)
+    warm = derive_transcripts_from_documents(spark, SF_DIR, turns_per_doc=2)
+    pipeline(warm).groupBy().count().collect()
+    tr = derive_transcripts_from_documents(spark, SF_DIR,
+                                           turns_per_doc=turns_per_doc)
+    n_turns = tr.count()
+    best = min(
+        _timed(lambda: pipeline(tr).groupBy().count().collect())
+        for _ in range(reps)
+    )
+    spark.stop()
+    return {"master": master, "turns": n_turns, "sec": round(best, 3),
+            "turns_per_sec": round(n_turns / best, 1)}
+
+
+def _pinned_shuffle_run(n_cores: int) -> dict:
+    import subprocess
+
+    cmd = ["taskset", "-c", f"0-{n_cores - 1}", sys.executable,
+           os.path.abspath(__file__), "--scaling-shuffle-run", str(n_cores)]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    for line in res.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"shuffle scaling run failed: {res.stderr[-2000:]}")
+
+
 def _pinned_extraction_run(n_cores: int) -> dict:
     """Run _extraction_run in a subprocess pinned to `n_cores` CPUs via
     taskset — the faithful model of an n-core executor (JVM shuffle /
@@ -226,6 +301,34 @@ def main() -> None:
                         "not plan-bound",
             },
         }
+        # Second workload: SHUFFLE-HEAVY scaling (TF-IDF-shaped two-agg
+        # + join + window pipeline).  The extraction job above is a
+        # single-exchange pure-map plan; this paired measurement shows
+        # the shuffle path (hash exchange + sort + reduce) also scales.
+        # Same paired-round/median protocol, fewer rounds by default.
+        if os.environ.get("SPARK_GRAFT_SHUFFLE_SCALING", "1") != "0":
+            sh_rounds = int(os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_SCALING_ROUNDS", "3"))
+            sh_samples = {2: [], 8: []}
+            for _ in range(sh_rounds):
+                for n in (2, 8):
+                    sh_samples[n].append(_pinned_shuffle_run(n))
+            sh_speedups = sorted(
+                b["turns_per_sec"] / a["turns_per_sec"]
+                for a, b in zip(sh_samples[2], sh_samples[8])
+            )
+            sh_median = sh_speedups[(len(sh_speedups) - 1) // 2]
+            scaling["shuffle_workload"] = {
+                "n_cores": sh_samples[2][0],
+                "4n_cores": sh_samples[8][0],
+                "samples": {
+                    "n_cores": [r["turns_per_sec"] for r in sh_samples[2]],
+                    "4n_cores": [r["turns_per_sec"] for r in sh_samples[8]],
+                    "round_speedups": [round(s, 3) for s in sh_speedups],
+                },
+                "speedup": round(sh_median, 3),
+                "efficiency_raw": round(sh_median / 4.0, 3),
+            }
 
     import __spark_entry__ as entry
     from ocr_spark.plans.session import build_session
@@ -291,5 +394,8 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--scaling-run":
         n = int(sys.argv[2])
         print(json.dumps(_extraction_run(f"local[{n}]", n)))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--scaling-shuffle-run":
+        n = int(sys.argv[2])
+        print(json.dumps(_shuffle_run(f"local[{n}]", n)))
     else:
         main()
