@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_median_value": _q_median_value,
         "q_pivot_events": _q_pivot_events,
         "q_cube_events": _q_cube_events,
+        "q_grouping_sets": _q_grouping_sets,
         "q_funnel": _q_funnel,
         "q_stratified_sample": _q_stratified_sample,
         "q_snapshot_delta": _q_snapshot_delta,
@@ -1830,6 +1831,22 @@ def _q_cube_events(spark, sf_dir):
     )
 
 
+# Explicit GROUPING SETS: exactly the (event_type) and (weekday)
+# marginals, no finer/coarser levels — the native Spark 4 DataFrame
+# groupingSets API plans ONE Expand with exactly two projections (vs
+# CUBE's four), completing the multi-level-aggregation family beside
+# ROLLUP and CUBE.
+def _q_grouping_sets(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    wd = F.dayofweek(F.col("ts")).cast("long").alias("weekday")
+    return ev.select("event_type", wd, "value").groupingSets(
+        [["event_type"], ["weekday"]], "event_type", F.col("weekday")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.floor(F.sum("value") * F.lit(100.0)).cast("long").alias("sum_value_fp"),
+    )
+
+
 # Histogram-quantile sketch: per-group p50/p90/p99 from a fixed-point
 # value histogram — the SINGLE-PASS, MERGEABLE quantile path at 100 TB
 # (one hash aggregate builds the histogram; quantiles read off the
@@ -2756,6 +2773,16 @@ def oracle_sql() -> dict[str, str]:
                      (dayofweek(ts) + 1)::BIGINT AS weekday
               FROM events
             ) GROUP BY CUBE (event_type, weekday)
+        """,
+        "q_grouping_sets": """
+            SELECT event_type, weekday,
+                   count(*)::BIGINT AS n_events,
+                   floor(sum(value) * 100.0)::BIGINT AS sum_value_fp
+            FROM (
+              SELECT event_type, value,
+                     (dayofweek(ts) + 1)::BIGINT AS weekday
+              FROM events
+            ) GROUP BY GROUPING SETS ((event_type), (weekday))
         """,
         "q_quantile_sketch": """
             WITH hist AS (
