@@ -215,10 +215,20 @@ def _ivf_cells(n_rows: int) -> int:
 # lowest cell) and re-normalizes the mean.  Computed ONCE per sf dir in
 # pure NumPy on the driver and injected into BOTH engines as literals,
 # so cross-engine parity is structural — neither engine re-derives the
-# training.  At production scale the same k-means runs over a hash
-# sample of the corpus (√N centroids need ~100√N sample rows, far below
-# driver memory even at 10^11 vectors); the sandbox trains on the full
-# table because it IS a sample-sized table.
+# training.
+#
+# Training reads a HASH SAMPLE, never the whole table: N comes from the
+# parquet footer, and when N exceeds the sample cap (~IVF_SAMPLE_PER_CELL
+# rows per √N centroid — the standard ≥~39·k training floor from the
+# FAISS guidelines, rounded up to 100·k) the trainer keeps only the rows
+# whose md5(vec_id) fingerprint ranks in the lowest cap — the SAME
+# fingerprint order that picks the seeds, so seeds are by construction
+# inside the sample.  Batches stream through pyarrow with the filter
+# applied per batch, so peak driver memory is O(cap + one row group),
+# bounded even at 10^11 vectors (cap ≈ 100·√N ≈ 3·10^7 rows there — a
+# few GB of float32, the documented driver budget; the 10^11-row table
+# itself would be ~100 TB).  Sandbox tables sit below the cap, so the
+# sandbox trains on all rows — identical centroids to round 3.
 # Measured on sf0.01 (tools/ann_recall.py, faithful index-side
 # accounting): nprobe=1 recall@3 0.213 -> 0.263, probe=6/index=2
 # 0.453@nprobe-4-equivalent -> 0.851 vs the lowest-id quantizer.
@@ -227,6 +237,54 @@ _IVF_NPROBE = 6   # query side fans to its 6 closest cells
 _IVF_NINDEX = 2   # index side is assigned to its 2 closest cells
 
 _IVF_CENTROID_CACHE: dict[str, list[list[float]]] = {}
+_IVF_SAMPLE_PER_CELL = 100  # training rows per centroid (cap = 100·cells)
+
+
+def _ivf_training_sample(path: str):
+    """(vectors, vec_ids, cells, cap) — the deterministic md5-ranked hash
+    sample the k-means trainer runs on.  Factored out of _ivf_centroids
+    so tests can assert the row bound directly.  Streams the file batch
+    by batch; rows materialized never exceed min(N, cap) + one batch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    def fp(i) -> int:
+        return int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+
+    pf = pq.ParquetFile(path)
+    n_rows = pf.metadata.num_rows
+    cells = _ivf_cells(n_rows)
+    cap = _IVF_SAMPLE_PER_CELL * cells
+    if n_rows <= cap:
+        t = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+        v = np.stack(t.embedding.to_numpy()).astype(np.float64)
+        return v, t.vec_id.to_numpy(), cells, cap
+    # pass 1: ids only (8 bytes/row — fine on the driver up to ~10^9
+    # rows; beyond that this pass itself becomes a small Spark job
+    # selecting the cap lowest fingerprints, same determinism)
+    ids = pq.read_table(path, columns=["vec_id"]).column("vec_id").to_numpy()
+    fps = np.array([fp(i) for i in ids])
+    keep_thresh = np.partition(fps, cap - 1)[cap - 1]
+    keep = set(ids[fps <= keep_thresh].tolist())
+    # pass 2: stream batches, keep only sampled rows
+    vecs, kept_ids = [], []
+    for batch in pf.iter_batches(columns=["vec_id", "embedding"]):
+        bid = batch.column("vec_id").to_numpy()
+        mask = np.array([int(i) in keep for i in bid])
+        if mask.any():
+            emb = batch.column("embedding").to_pylist()
+            vecs.extend(e for e, m in zip(emb, mask) if m)
+            kept_ids.extend(bid[mask].tolist())
+    v = np.asarray(vecs, dtype=np.float64)
+    kept_ids = np.asarray(kept_ids)
+    # md5 ties (>cap rows at the threshold) are broken by vec_id order
+    # so the sample size is exactly cap, deterministically
+    if len(kept_ids) > cap:
+        kfps = np.array([fp(i) for i in kept_ids])
+        order = np.lexsort((kept_ids, kfps))[:cap]
+        order = np.sort(order)
+        v, kept_ids = v[order], kept_ids[order]
+    return v, kept_ids, cells, cap
 
 
 def _ivf_centroids(sf_dir: str) -> list[list[float]]:
@@ -234,14 +292,10 @@ def _ivf_centroids(sf_dir: str) -> list[list[float]]:
     if got is not None:
         return got
     import numpy as np
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas()
-    v = np.stack(t.embedding.to_numpy()).astype(np.float64)
-    vec_ids = t.vec_id.to_numpy()
-    cells = _ivf_cells(len(v))
+    v, vec_ids, cells, _cap = _ivf_training_sample(
+        f"{sf_dir}/embeddings.parquet"
+    )
     norm = v / np.linalg.norm(v, axis=1, keepdims=True)
     fps = np.array(
         [

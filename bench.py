@@ -228,6 +228,32 @@ def _pinned_extraction_run(n_cores: int) -> dict:
 
 
 def main() -> None:
+    # The driver captures only the LAST 2000 bytes of stdout and parses
+    # that (BENCH_r03.json arrived with "parsed": null because the full
+    # result object was ~4 KB).  Contract for round 4+: stdout carries
+    # EXACTLY ONE compact JSON line, sized under the 2000-byte window;
+    # everything else (Spark chatter, progress, full scaling detail)
+    # goes to stderr, and the complete result object is also written to
+    # BENCH_local.json for humans and the judge.  Dup stdout away for
+    # the run's duration so no library can write to it.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        out, full = _run_bench()
+    finally:
+        os.dup2(real_stdout_fd, 1)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_local.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1950:  # belt-and-braces: drop precision, then queries
+        out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+        line = json.dumps(out, separators=(",", ":"))
+    print(json.dumps(full, indent=1), file=sys.stderr)
+    os.write(real_stdout_fd, (line + "\n").encode())
+
+
+def _run_bench():
     scaling = {}
     if DO_SCALING:
         # N and 4N parallelism on the SAME input (sandbox proxy for
@@ -374,7 +400,7 @@ def main() -> None:
         per_query[name] = round(med, 3)
 
     total = round(sum(per_query.values()), 3)
-    out = {
+    full = {
         "metric": "turns/sec extraction throughput + headline query suite",
         "value": total,
         "unit": "sec",
@@ -386,8 +412,21 @@ def main() -> None:
         "exact_match_gate": "pytest tests/ (oracle parity suite)",
         "scaling": scaling,
     }
-    print(json.dumps(out))
+    # compact stdout twin: same headline numbers, scaling reduced to its
+    # summary statistics (full detail lives in BENCH_local.json + stderr)
+    out = dict(full)
+    if scaling:
+        out["scaling"] = {
+            "speedup": scaling["speedup"],
+            "efficiency_raw": scaling["efficiency_raw"],
+            "efficiency_vs_hw_ceiling": scaling["efficiency_vs_hw_ceiling"],
+            "shuffle_efficiency": (
+                scaling.get("shuffle_workload", {}).get("efficiency_raw")
+            ),
+            "detail": "BENCH_local.json",
+        }
     spark.stop()
+    return out, full
 
 
 if __name__ == "__main__":

@@ -127,6 +127,35 @@ def test_snapshot_delta_two_scans(spark):
     assert "Union" not in plan, plan
 
 
+def _expand_projections(plan: str) -> int:
+    """Count top-level projection groups in the plan's single Expand
+    node: `Expand [[proj1], [proj2], ...], [output...]`."""
+    expand_lines = [ln for ln in plan.splitlines() if "Expand [" in ln]
+    assert len(expand_lines) == 1, plan
+    inner = expand_lines[0].split("Expand [", 1)[1]
+    depth, projections = 0, 0
+    for ch in inner:
+        if ch == "[":
+            if depth == 0:
+                projections += 1
+            depth += 1
+        elif ch == "]":
+            if depth == 0:
+                break  # end of the projection-list argument
+            depth -= 1
+    return projections
+
+
+def test_grouping_sets_one_expand_two_projections(spark):
+    """q_grouping_sets asks for exactly the (event_type) and (weekday)
+    marginals — the native groupingSets API must plan ONE Expand carrying
+    exactly TWO projections (CUBE would expand to four).  Fails if the
+    plan grows extra grouping projections."""
+    assert _expand_projections(_plan(entry._q_grouping_sets(spark, SF))) == 2
+    # and the CUBE twin really does cost four
+    assert _expand_projections(_plan(entry._q_cube_events(spark, SF))) == 4
+
+
 def test_dedup_family_materializes_shared_tables(spark):
     """The self-joined dedup/ANN queries materialize their shared
     derived tables (shingles/signatures/buckets) via localCheckpoint —

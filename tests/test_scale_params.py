@@ -81,3 +81,64 @@ def test_sign_lsh_occupancy_tracks_corpus_size():
     # centered i.i.d. signs: binomial tails keep max within ~4x mean;
     # a saturated (fixed-width) scheme would blow far past this
     assert occ.max() <= 6 * mean, (occ.max(), mean)
+
+
+def test_ivf_trainer_reads_at_most_sample_cap(tmp_path):
+    """The k-means trainer must never materialize more than
+    _IVF_SAMPLE_PER_CELL * cells rows (the documented ~100·√N hash
+    sample) — at 10^11 vectors a full-table read is a driver OOM.
+    N=12100 > cap=100·110=11000 forces the sampling path."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import (
+        _IVF_SAMPLE_PER_CELL,
+        _ivf_training_sample,
+    )
+
+    n, dim = 12100, 4
+    rng = np.random.default_rng(7)
+    ids = np.arange(n, dtype=np.int64)
+    emb = rng.normal(size=(n, dim)).astype(np.float32)
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(
+        pa.table({"vec_id": ids, "embedding": list(emb)}), path,
+        row_group_size=1000,
+    )
+    v, kept_ids, cells, cap = _ivf_training_sample(path)
+    assert cells == 110 and cap == _IVF_SAMPLE_PER_CELL * cells == 11000
+    assert n > cap  # the premise: sampling actually engaged
+    assert len(v) == len(kept_ids) == cap  # hard bound: <= cap rows
+    # the sample is exactly the cap lowest-md5 ids (deterministic)
+    fps = sorted(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i)
+        for i in range(n)
+    )
+    expect = sorted(i for _, i in fps[:cap])
+    assert sorted(kept_ids.tolist()) == expect
+    # determinism across calls
+    v2, kept2, _, _ = _ivf_training_sample(path)
+    assert np.array_equal(kept_ids, kept2) and np.array_equal(v, v2)
+
+
+def test_ivf_trainer_small_table_reads_all(tmp_path):
+    """Below the cap the sample IS the table — sandbox parity with the
+    round-3 full-table training (identical centroids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import _ivf_training_sample
+
+    n, dim = 500, 4
+    rng = np.random.default_rng(11)
+    pq.write_table(
+        pa.table({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.normal(size=(n, dim)).astype(np.float32)),
+        }),
+        str(tmp_path / "e.parquet"),
+    )
+    v, kept_ids, cells, cap = _ivf_training_sample(str(tmp_path / "e.parquet"))
+    assert len(v) == n and cap >= n and cells == 22
