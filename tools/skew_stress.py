@@ -55,6 +55,121 @@ def build_fixture() -> pd.DataFrame:
     return pd.concat([hot, cold], ignore_index=True)
 
 
+MEGA_EVENTS = 1_000_000
+N_COLD_USERS = 10_000
+
+
+def _skewed_events(spark, mega_events: int):
+    """Event log with one mega-user (`mega_events` rows, event types
+    cycling view/click/purchase at 1-second spacing) plus N_COLD_USERS
+    10-event users — built in Spark, no driver materialization."""
+    import pyspark.sql.functions as F
+
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    mega = spark.range(mega_events).select(
+        F.lit("user-hot").alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (base + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                                   F.col("id").cast("double"))).alias("ts"),
+    )
+    cold = spark.range(N_COLD_USERS * 10).select(
+        F.concat(F.lit("user-cold-"),
+                 (F.col("id") % N_COLD_USERS).cast("string")).alias("user_id"),
+        (F.col("id") + mega_events).alias("event_id"),
+        F.lit("view").alias("event_type"),
+        # 1-hour spacing -> every cold event opens a new session
+        (base + F.make_dt_interval(
+            F.lit(0), (F.col("id") / N_COLD_USERS).cast("int").cast("long"),
+            F.lit(0), F.lit(0.0))).alias("ts"),
+    )
+    return mega.unionByName(cold)
+
+
+def window_skew_stress(spark) -> None:
+    """The funnel/sessionize family partitions windows by user_id with
+    unbounded frames — a hot key cannot be slice-salted the way the
+    extraction path salts conv_id (the cascaded minima reference each
+    other across the whole user history), so the scale story is that the
+    per-group work is LINEAR: one mega-user costs one linear pass on one
+    task, never a quadratic frame re-scan.  This drives 10^6 events for
+    a single user through both query shapes and pins (a) correctness of
+    the skewed group's results, (b) an absolute runtime bound, and (c)
+    near-linearity: 4x the mega-user's rows must cost well under the
+    16x a quadratic window evaluation would."""
+    import time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    def funnel(ev):
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        hour = 3_600_000_000
+        w = Window.partitionBy("user_id")
+        x = ev.select("user_id", "event_type", us.alias("t"))
+        x = x.withColumn("t_view", F.min(
+            F.when(F.col("event_type") == "view", F.col("t"))).over(w))
+        x = x.withColumn("t_click", F.min(F.when(
+            (F.col("event_type") == "click")
+            & (F.col("t") > F.col("t_view"))
+            & (F.col("t") <= F.col("t_view") + hour), F.col("t"))).over(w))
+        x = x.withColumn("t_purchase", F.min(F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("t") > F.col("t_click"))
+            & (F.col("t") <= F.col("t_click") + hour), F.col("t"))).over(w))
+        return (
+            x.filter(F.col("t_view").isNotNull())
+            .groupBy("user_id")
+            .agg(F.max(
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stage"))
+        )
+
+    def sessionize(ev):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        epoch = F.col("ts").cast("timestamp").cast("long")
+        gap = epoch - F.lag(epoch, 1).over(w)
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        return (
+            ev.withColumn("sess_id", F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id")
+            .agg(F.max("sess_id").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events"))
+        )
+
+    def run(mega_events: int) -> float:
+        ev = _skewed_events(spark, mega_events).localCheckpoint()
+        t0 = time.perf_counter()
+        f = {r["user_id"]: r["stage"] for r in funnel(ev).collect()}
+        s = {r["user_id"]: (r["n_sessions"], r["n_events"])
+             for r in sessionize(ev).collect()}
+        dt = time.perf_counter() - t0
+        # mega-user: view@t, click@t+1s, purchase@t+2s -> full 3 stages;
+        # 1-second gaps -> exactly ONE session of mega_events events
+        assert f["user-hot"] == 3, f["user-hot"]
+        assert len(f) == 1 + N_COLD_USERS, len(f)
+        assert s["user-hot"] == (1, mega_events), s["user-hot"]
+        assert s["user-cold-0"] == (10, 10), s["user-cold-0"]
+        return dt
+
+    warm = run(50_000)  # codegen + shuffle warmup outside the timed probe
+    t_quarter = run(MEGA_EVENTS // 4)
+    t_full = run(MEGA_EVENTS)
+    assert t_full < 120.0, f"window skew run took {t_full:.1f}s"
+    # quadratic frame evaluation would make the 4x run ~16x slower; the
+    # linear pass reads ~<4x even through this VM's ~40% timing noise
+    assert t_full <= 8.0 * t_quarter, (t_full, t_quarter, warm)
+    print(f"window-skew: warm={warm:.2f}s quarter={t_quarter:.2f}s "
+          f"full={t_full:.2f}s ratio={t_full / t_quarter:.2f}",
+          file=sys.stderr)
+
+
 def main() -> None:
     import pyspark.sql.functions as F
 
@@ -98,6 +213,10 @@ def main() -> None:
     assert (hot_res.status == "ok").all()
     expected_text = extract_frame(pdf.head(1)).extracted_text.iloc[0]
     assert (res.extracted_text == expected_text).all()
+
+    # 4. the windowed-analytics path (funnel/sessionize) under one
+    #    mega-user — covers the window family, not just the map path
+    window_skew_stress(spark)
 
     spark.stop()
     print("SKEW-STRESS-OK")
