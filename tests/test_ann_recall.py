@@ -36,6 +36,12 @@ def test_recall_bars_at_correctness_sf():
     assert m["lsh_mt"]["recall_at_k"] >= 0.8, m["lsh_mt"]
     assert m["lsh_mt"]["recall_at_k"] > m["lsh"]["recall_at_k"]
     assert m["lsh_mt"]["avg_candidates"] < m["n"]
+    # multi-probe (4 tables x 4 probes) must hold the same bar as the
+    # 16-table build it replaces on the scale path (measured 0.913 vs
+    # 0.903) while indexing a quarter of the rows
+    assert m["lsh_mp"]["recall_at_k"] >= 0.8, m["lsh_mp"]
+    assert m["lsh_mp"]["recall_at_k"] >= m["lsh_mt"]["recall_at_k"] - 0.05
+    assert m["lsh_mp"]["avg_candidates"] < m["n"]
     mp = m["ivf"]["nprobe"]["6"]
     assert mp["recall_at_k"] >= 0.8, mp
     assert mp["recall_at_k"] > m["ivf"]["single_probe_single_index"]["recall_at_k"]

@@ -86,10 +86,20 @@ def test_ann_lsh_is_equi_join_not_cross(spark):
     """Bucket equi-joins must never degrade to cross products — the
     entire point of the LSH family at 100 TB."""
     for q in (entry._q_embedding_ann_lsh, entry._q_embedding_ann_lsh_mt,
-              entry._q_embedding_neardup):
+              entry._q_embedding_ann_lsh_mp, entry._q_embedding_neardup):
         plan = _plan(q(spark, SF))
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ann_lsh_mp_materializes_buckets_once(spark):
+    """The multi-probe index and probe tables must both read the ONE
+    checkpointed bucket materialization (hyperplane dots computed once
+    per vector), never re-derive it from the corpus — 0 parquet scans in
+    the visible plan, like the rest of the dedup/ANN family."""
+    plan = _plan(entry._q_embedding_ann_lsh_mp(spark, SF))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
 
 
 def test_ivf_broadcasts_centroids_only(spark):

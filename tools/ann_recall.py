@@ -36,6 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from __spark_entry__ import (  # noqa: E402
     _IVF_NINDEX,
     _IVF_NPROBE,
+    _LSH_MP_PROBES,
+    _LSH_MP_TABLES,
     _LSH_TABLES,
     _hp_signs,
     _ivf_cells,
@@ -113,6 +115,31 @@ def measure(sf_dir: str, k: int = 3) -> dict:
     )
     mt_recall, mt_cand = recall_for(mt_groups)
 
+    # multi-probe (q_embedding_ann_lsh_mp): _LSH_MP_TABLES tables; the
+    # INDEX holds each vector under its own bucket only, the QUERY also
+    # probes the buckets reached by flipping its lowest-|margin| bits
+    # (margin = |integer hyperplane dot|, ties by bit index — the exact
+    # twin of both engines' struct sort).  Asymmetric accounting via
+    # index_groups, like the IVF paths.
+    n_flip = min(_LSH_MP_PROBES - 1, mt_bits)
+    mp_probe_cols, mp_index_cols = [], []
+    for t in range(_LSH_MP_TABLES):
+        signs = np.array(_hp_signs(t, mt_bits, dims), dtype=np.int64)
+        dots = vfp @ signs.T
+        own = (dots > 0) @ (1 << np.arange(mt_bits, dtype=np.int64))
+        marg = np.lexsort(
+            (np.tile(np.arange(mt_bits), (n, 1)), np.abs(dots)), axis=1
+        )
+        ns = t << 56
+        mp_index_cols.append(own | ns)
+        mp_probe_cols.append(own | ns)
+        for j in range(n_flip):
+            mp_probe_cols.append((own ^ (1 << marg[:, j])) | ns)
+    mp_recall, mp_cand = recall_for(
+        np.stack(mp_probe_cols, axis=1),
+        index_groups=np.stack(mp_index_cols, axis=1),
+    )
+
     # IVF over the TRAINED k-means quantizer (_ivf_centroids — the same
     # literals both engines rank against), with the engines' fixed-point
     # + lowest-cid tie-break and FAITHFUL index-side accounting: the
@@ -150,6 +177,13 @@ def measure(sf_dir: str, k: int = 3) -> dict:
             "bits": mt_bits,
             "recall_at_k": round(mt_recall, 4),
             "avg_candidates": round(mt_cand, 1),
+        },
+        "lsh_mp": {
+            "tables": _LSH_MP_TABLES,
+            "probes": 1 + n_flip,
+            "bits": mt_bits,
+            "recall_at_k": round(mp_recall, 4),
+            "avg_candidates": round(mp_cand, 1),
         },
         "ivf": {
             "cells": cells,
