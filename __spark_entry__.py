@@ -691,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_decode": _q_image_decode,
         "q_png_decode": _q_png_decode,
         "q_jpeg_decode": _q_jpeg_decode,
+        "q_jpeg_progressive": _q_jpeg_progressive,
         "q_wav_decode": _q_wav_decode,
         "q_mjpeg_frames": _q_mjpeg_frames,
         "q_binary_decode_envelope": _q_binary_decode_envelope,
@@ -2273,6 +2274,24 @@ def _q_jpeg_decode(spark, sf_dir):
     return decode_jpegs_real(d)
 
 
+# REAL PROGRESSIVE-JPEG decode (round 4 — closes the SOF2 seam, the
+# most common real-world JPEG class after baseline): per doc, a
+# checker-basis tiled image whose per-tile FDCT is exactly two integer
+# coefficients (DC + one mid-band AC) is encoded as a multi-scan SOF2
+# stream — spectral-selection AC bands plus DC/AC successive-
+# approximation refinement scans — then decoded inside mapInPandas.
+# The construction makes the progressive pipeline exactly lossless, so
+# the DuckDB oracle verifies geometry AND the full pixel payload from
+# closed forms; any scan-script/EOB-run/refinement bug breaks the hash.
+# Coefficient-exact round-trips incl. deep SA chains are pinned by
+# tests/test_jpeg.py.
+def _q_jpeg_progressive(spark, sf_dir):
+    from ocr_spark.functions.multimodal import decode_progressive_jpegs_real
+
+    d = _docs_wide(spark, sf_dir).select("doc_id")
+    return decode_progressive_jpegs_real(d)
+
+
 # REAL audio decode (WAV/PCM16 — the one audio container parseable with
 # zero codec libraries): per doc, a deterministic integer PCM waveform
 # is RIFF-encoded then decoded by the pure-NumPy chunk-walking parser
@@ -2301,8 +2320,9 @@ def _q_mjpeg_frames(spark, sf_dir):
 
 
 # PRODUCTION-contract decode over a mixed, partially-POISONED binary
-# corpus: formats cycle BMP/PNG/JPEG and every doc_id % 10 == 7 payload
-# is truncated mid-marker.  The operator (decode_binary_images) must
+# corpus: formats cycle BMP/PNG/JPEG (half the JPEGs progressive SOF2,
+# decoding identically on flat tiles) and every doc_id % 10 == 7
+# payload is truncated mid-marker.  The operator (decode_binary_images) must
 # emit a status='error' row for every poisoned payload and exact
 # closed-form geometry for every healthy one — the oracle checks BOTH,
 # so a decoder that crashes the stage OR misclassifies a byte stream
@@ -3154,6 +3174,22 @@ def oracle_sql() -> dict[str, str]:
                      1 + doc_id % 3 AS tx,
                      1 + doc_id % 2 AS ty,
                      doc_id % 151 AS base
+              FROM documents
+            )
+        """,
+        "q_jpeg_progressive": """
+            SELECT doc_id,
+                   (8 * tx)::BIGINT AS width,
+                   (8 * ty)::BIGINT AS height,
+                   (64 * tx * ty)::BIGINT AS n_px,
+                   (192 * (tx * ty * base
+                           + 5 * ty * (tx * (tx - 1)) // 2
+                           + 11 * tx * (ty * (ty - 1)) // 2))::BIGINT AS px_sum
+            FROM (
+              SELECT doc_id,
+                     1 + doc_id % 4 AS tx,
+                     1 + doc_id % 3 AS ty,
+                     20 + doc_id % 170 AS base
               FROM documents
             )
         """,

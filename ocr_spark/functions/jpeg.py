@@ -1,24 +1,35 @@
-"""Pure-NumPy baseline JPEG codec (ITU-T T.81 sequential DCT).
+"""Pure-NumPy JPEG codec (ITU-T T.81): baseline sequential DCT and
+progressive (SOF2).
 
-Closes the last compressed-codec seam in decode_media_real: the
-reference's actual inputs are baseline JPEGs (reference
-handwriting/api.py:20 decodes test_image.jpg via PIL Image.open; that
-file is SOF0, 3 components, all 1x1 sampling — i.e. 4:4:4, no chroma
-subsampling), and this module decodes exactly that class without any
+Closes the compressed-codec seam in decode_media_real: the reference's
+actual inputs are baseline JPEGs (reference handwriting/api.py:20
+decodes test_image.jpg via PIL Image.open; that file is SOF0, 3
+components, all 1x1 sampling — i.e. 4:4:4, no chroma subsampling), and
+this module decodes that class plus the progressive class without any
 codec library:
 
-  - decode_baseline: SOF0, 8-bit, grayscale or 3-component color with
-    sampling factors up to 2x2 — covering 4:4:4 (the reference image),
-    4:2:0 (the dominant real-world layout; chroma upsampled by pixel
-    replication), and 4:2:2.  Progressive (SOF2), arithmetic-coded,
-    restart-interval, and >2x sampling streams raise
-    NotImplementedError at a single marked seam — the same
+  - decode_baseline: SOF0/1 sequential AND SOF2 progressive, 8-bit,
+    grayscale or 3-component color with sampling factors up to 2x2 —
+    covering 4:4:4 (the reference image), 4:2:0 (the dominant
+    real-world layout; chroma upsampled by pixel replication), and
+    4:2:2.  Progressive streams decode every scan kind of Annex G.2:
+    spectral selection (AC bands per scan, EOBn end-of-band runs) and
+    successive approximation (DC/AC first scans at reduced precision +
+    refinement scans).  Restart intervals (DRI + RSTn markers) are
+    supported in both modes: DC predictions / EOB runs reset and the
+    reader re-aligns at every segment — the structure real camera
+    files carry, and the unit of intra-image PARALLEL entropy decode
+    at scale (each restart segment is independently decodable).
+    Arithmetic-coded, lossless/hierarchical, and >2x sampling streams
+    raise NotImplementedError at a single marked seam — the same
     honest-boundary convention as the PNG/BMP decoders in
     multimodal.py.
-  - encode_baseline: the fixture-side twin (grayscale, 4:4:4, 4:2:0,
-    or 4:2:2 color) writing real Huffman-coded entropy data with the
-    spec's Annex K example tables, so decoder fixtures are genuine
-    JPEG streams, not replayed private structures.
+  - encode_baseline / encode_progressive: the fixture-side twins
+    (grayscale, 4:4:4, 4:2:0, or 4:2:2 color) writing real
+    Huffman-coded entropy data — Annex K example tables for sequential
+    scans, a fixed complete table carrying the EOBn symbols for
+    progressive AC scans — so decoder fixtures are genuine JPEG
+    streams, not replayed private structures.
 
 Design notes for the 100 TB setting: a JPEG payload decodes
 independently of every other payload, so the distributed shape is the
@@ -106,6 +117,19 @@ AC_CHR_VALS = [
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+# Fixed AC table for progressive scans: every symbol a progressive AC
+# scan can emit — (run<<4)|size for size 1..10, ZRL 0xF0, and the EOBn
+# end-of-band symbols r<<4 for r 0..14 (absent from the Annex K
+# sequential tables, which only define EOB0) — all at code length 8.
+# 176 codes of 8 bits leave the all-ones code unused, so the canonical
+# construction is valid per T.81 C.2; compression is mediocre but these
+# tables only serve deterministic fixtures.
+PROG_AC_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(15)} | {0xF0}
+)
+PROG_AC_BITS = [0] * 7 + [len(PROG_AC_VALS)] + [0] * 8
 
 # orthogonal 8x8 DCT-II basis: F = A @ S @ A.T per T.81 A.3.3
 _x = np.arange(8)
@@ -280,17 +304,12 @@ def _dht_body(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
 
 
-def encode_baseline(arr: np.ndarray, qtab_luma: np.ndarray | None = None,
-                    qtab_chroma: np.ndarray | None = None,
-                    subsampling: str = "444") -> bytes:
-    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as a baseline
-    sequential JPEG.  `subsampling` picks the color layout: '444'
-    (1x1 everywhere — the reference image's own layout), '420'
-    (2x2 luma, 2x2-box-averaged chroma — the dominant real-world
-    layout), or '422' (2x1 luma, horizontally averaged chroma).
-    Quant tables default to all-ones (near-lossless) so
-    fixture round-trips stay closed-form; pass real tables for lossy
-    behavior.  Edge blocks are padded by edge replication."""
+def _prepare_encode(arr: np.ndarray, qtab_luma: np.ndarray | None,
+                    qtab_chroma: np.ndarray | None, subsampling: str):
+    """Shared encoder front half: color transform, subsampling, MCU
+    padding, FDCT + quantization.  Returns (gray, h, w, planes, qtabs,
+    samps, coefs) — coefs are (nblocks, 64) int32 zigzag arrays in the
+    MCU-padded raster block order _fdct_quant produces."""
     if qtab_luma is None:
         qtab_luma = np.ones((8, 8), dtype=np.int64)
     if qtab_chroma is None:
@@ -338,32 +357,12 @@ def encode_baseline(arr: np.ndarray, qtab_luma: np.ndarray | None = None,
             samps = [(1, 1)] * 3
 
     coefs = [_fdct_quant(p, q) for p, q in zip(planes, qtabs)]
+    return gray, h, w, planes, [qtab_luma, qtab_chroma], samps, coefs
 
-    dc_l = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
-    ac_l = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
-    dc_c = _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
-    ac_c = _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
 
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    hmax = max(s[0] for s in samps)
-    vmax = max(s[1] for s in samps)
-    mcux = planes[0].shape[1] // (8 * hmax)
-    mcuy = planes[0].shape[0] // (8 * vmax)
-    grid_ws = [planes[ci].shape[1] // 8 for ci in range(len(planes))]
-    for n in range(mcux * mcuy):        # interleaved MCU order
-        my, mx = divmod(n, mcux)
-        for ci in range(len(planes)):
-            hi, vi = samps[ci]
-            dc_codes = dc_l if ci == 0 else dc_c
-            ac_codes = ac_l if ci == 0 else ac_c
-            for by in range(vi):
-                for bx in range(hi):
-                    idx = (my * vi + by) * grid_ws[ci] + (mx * hi + bx)
-                    preds[ci] = _encode_block(bw, coefs[ci][idx], preds[ci],
-                                              dc_codes, ac_codes)
-    entropy = bw.flush()
-
+def _frame_header(gray: bool, h: int, w: int, samps, qtab_luma, qtab_chroma,
+                  sof_marker: int) -> bytearray:
+    """SOI + DQT(s) + SOF segment bytes shared by both encoders."""
     out = bytearray(b"\xff\xd8")        # SOI
     out += _seg(0xDB, bytes([0x00])
                 + bytes(qtab_luma.reshape(64)[ZIGZAG].astype(np.uint8)))
@@ -375,12 +374,66 @@ def encode_baseline(arr: np.ndarray, qtab_luma: np.ndarray | None = None,
     for ci in range(ncomp):
         hi, vi = samps[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += _seg(0xC0, sof)
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def encode_baseline(arr: np.ndarray, qtab_luma: np.ndarray | None = None,
+                    qtab_chroma: np.ndarray | None = None,
+                    subsampling: str = "444",
+                    restart_interval: int = 0) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as a baseline
+    sequential JPEG.  `subsampling` picks the color layout: '444'
+    (1x1 everywhere — the reference image's own layout), '420'
+    (2x2 luma, 2x2-box-averaged chroma — the dominant real-world
+    layout), or '422' (2x1 luma, horizontally averaged chroma).
+    Quant tables default to all-ones (near-lossless) so
+    fixture round-trips stay closed-form; pass real tables for lossy
+    behavior.  Edge blocks are padded by edge replication.
+    `restart_interval` > 0 writes a DRI segment and a cycling RSTn
+    marker every that-many MCUs (DC predictions reset, segment
+    byte-aligned) — the structure real camera files carry, and the
+    unit of intra-image parallel decode at scale."""
+    gray, h, w, planes, (qtab_luma, qtab_chroma), samps, coefs = \
+        _prepare_encode(arr, qtab_luma, qtab_chroma, subsampling)
+
+    dc_l = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
+    ac_c = _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
+
+    sw = _SegmentedWriter(restart_interval)
+    preds = [0] * len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = planes[0].shape[1] // (8 * hmax)
+    mcuy = planes[0].shape[0] // (8 * vmax)
+    grid_ws = [planes[ci].shape[1] // 8 for ci in range(len(planes))]
+    for n in range(mcux * mcuy):        # interleaved MCU order
+        if sw.at_boundary(n):
+            sw.advance()
+            preds = [0] * len(planes)
+        my, mx = divmod(n, mcux)
+        for ci in range(len(planes)):
+            hi, vi = samps[ci]
+            dc_codes = dc_l if ci == 0 else dc_c
+            ac_codes = ac_l if ci == 0 else ac_c
+            for by in range(vi):
+                for bx in range(hi):
+                    idx = (my * vi + by) * grid_ws[ci] + (mx * hi + bx)
+                    preds[ci] = _encode_block(sw.bw, coefs[ci][idx],
+                                              preds[ci], dc_codes, ac_codes)
+    entropy = sw.finish()
+
+    out = _frame_header(gray, h, w, samps, qtab_luma, qtab_chroma, 0xC0)
+    ncomp = 1 if gray else 3
     out += _seg(0xC4, _dht_body(0, 0, DC_LUM_BITS, DC_LUM_VALS))
     out += _seg(0xC4, _dht_body(1, 0, AC_LUM_BITS, AC_LUM_VALS))
     if not gray:
         out += _seg(0xC4, _dht_body(0, 1, DC_CHR_BITS, DC_CHR_VALS))
         out += _seg(0xC4, _dht_body(1, 1, AC_CHR_BITS, AC_CHR_VALS))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -391,57 +444,600 @@ def encode_baseline(arr: np.ndarray, qtab_luma: np.ndarray | None = None,
     return bytes(out)
 
 
+class _SegmentedWriter:
+    """Per-scan bit writer that splits the entropy data into restart
+    segments: every `ri` groups the caller flushes its run state, then
+    `advance()` pads the segment to a byte boundary with 1-bits, emits
+    the cycling RSTn marker, and starts a fresh segment."""
+
+    def __init__(self, ri: int) -> None:
+        self.ri = ri
+        self.out = bytearray()
+        self.bw = _BitWriter()
+        self._rst = 0
+
+    def at_boundary(self, n: int) -> bool:
+        return bool(self.ri) and n > 0 and n % self.ri == 0
+
+    def advance(self) -> None:
+        self.out += self.bw.flush()
+        self.out += bytes([0xFF, 0xD0 + (self._rst & 7)])
+        self._rst += 1
+        self.bw = _BitWriter()
+
+    def finish(self) -> bytes:
+        self.out += self.bw.flush()
+        return bytes(self.out)
+
+
+def _emit_dc_first(sw, groups, coefs, al, dc_codes_for) -> None:
+    """G.2 DC first scan: Huffman-coded diffs of the point transform
+    v >> Al (arithmetic shift), predicted on the shifted values;
+    restart boundaries reset the predictions."""
+    preds: dict[int, int] = {}
+    for n, group in enumerate(groups):
+        if sw.at_boundary(n):
+            sw.advance()
+            preds = {}
+        for ci, idx in group:
+            t = int(coefs[ci][idx, 0]) >> al
+            diff = t - preds.get(ci, 0)
+            preds[ci] = t
+            size = _csize(diff)
+            code, ln = dc_codes_for[ci][size]
+            sw.bw.put(code, ln)
+            if size:
+                sw.bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+
+
+def _emit_dc_refine(sw, groups, coefs, al) -> None:
+    for n, group in enumerate(groups):
+        if sw.at_boundary(n):
+            sw.advance()
+        for ci, idx in group:
+            sw.bw.put((int(coefs[ci][idx, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(sw, groups, zz, ac_codes, ss, se, al) -> None:
+    """G.1.2.2 AC first scan: run-length + EOBn coding of the band's
+    point-transformed (sign-magnitude shift) coefficients.  EOB runs
+    are flushed before every restart boundary (they may not cross
+    one)."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            sw.bw.put(code, ln)
+            if nbits:
+                sw.bw.put(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for n, group in enumerate(groups):
+        if sw.at_boundary(n):
+            flush_eob()
+            sw.advance()
+        bw = sw.bw
+        (_, idx), = group
+        blk = zz[idx]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                r -= 16
+            size = t.bit_length()
+            if v < 0:
+                t = -t
+            code, ln = ac_codes[(r << 4) | size]
+            bw.put(code, ln)
+            bw.put(t if t > 0 else t + (1 << size) - 1, size)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(sw, groups, zz, ac_codes, ss, se, al) -> None:
+    """G.1.2.3 AC refinement scan: correction bits for history-nonzero
+    coefficients ride behind the Huffman symbol (or EOB run) they are
+    associated with; newly-nonzero coefficients (|v| >> Al == 1) are
+    positioned by runs counted over zero-HISTORY coefficients only.
+    EOB runs and their buffered bits flush before restart
+    boundaries."""
+    eobrun = 0
+    pend: list[int] = []                # correction bits riding the EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pend
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            sw.bw.put(code, ln)
+            if nbits:
+                sw.bw.put(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+        for bit in pend:
+            sw.bw.put(bit, 1)
+        pend = []
+
+    for n, group in enumerate(groups):
+        if sw.at_boundary(n):
+            flush_eob()
+            sw.advance()
+        bw = sw.bw
+        (_, idx), = group
+        blk = zz[idx]
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob = ss - 1                    # position of last newly-nonzero
+        for k in range(ss, se + 1):
+            if absv[k - ss] == 1:
+                eob = k
+        r = 0
+        held: list[int] = []            # correction bits within this block
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs only when they cannot fold into the coming EOB run
+            while r > 15 and k <= eob:
+                flush_eob()
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                r -= 16
+                for bit in held:
+                    bw.put(bit, 1)
+                held = []
+            if t > 1:                   # history-nonzero: one bit, run
+                held.append(t & 1)      # unaffected (history-zero only)
+                continue
+            flush_eob()                 # newly-nonzero: (r, size=1) + sign
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if int(blk[k]) >= 0 else 0, 1)
+            for bit in held:
+                bw.put(bit, 1)
+            held = []
+            r = 0
+        if r > 0 or held:
+            eobrun += 1
+            pend.extend(held)
+            if eobrun == 0x7FFF or len(pend) > 937:
+                flush_eob()
+    flush_eob()
+
+
+def encode_progressive(arr: np.ndarray, qtab_luma: np.ndarray | None = None,
+                       qtab_chroma: np.ndarray | None = None,
+                       subsampling: str = "444", dc_al: int = 1,
+                       ac_al: int = 1,
+                       bands: tuple = ((1, 5), (6, 63)),
+                       restart_interval: int = 0) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as a progressive
+    (SOF2) JPEG exercising BOTH progressive mechanisms: spectral
+    selection (`bands` splits AC 1..63 across scans) and successive
+    approximation (`dc_al`/`ac_al` high bits first, then refinement
+    scans down to full precision).  Scan script: interleaved DC first,
+    per-component AC firsts per band, DC refinement(s), AC
+    refinement(s).  AC scans use the fixed PROG_AC table (the Annex K
+    sequential tables lack the EOBn symbols); DC scans reuse Annex K.
+    The fixture-side twin of the SOF2 decode path, mirroring
+    encode_baseline."""
+    gray, h, w, planes, (qtab_luma, qtab_chroma), samps, coefs = \
+        _prepare_encode(arr, qtab_luma, qtab_chroma, subsampling)
+    ncomp = 1 if gray else 3
+    comps = [(ci + 1, 0 if ci == 0 else 1, samps[ci][0], samps[ci][1])
+             for ci in range(ncomp)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = planes[0].shape[1] // (8 * hmax)
+    mcuy = planes[0].shape[0] // (8 * vmax)
+    grids = [(mcux * hi, mcuy * vi) for _, _, hi, vi in comps]
+
+    dc_codes = [_canonical_codes(DC_LUM_BITS, DC_LUM_VALS),
+                _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)]
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    out = _frame_header(gray, h, w, samps, qtab_luma, qtab_chroma, 0xC2)
+    out += _seg(0xC4, _dht_body(0, 0, DC_LUM_BITS, DC_LUM_VALS))
+    if not gray:
+        out += _seg(0xC4, _dht_body(0, 1, DC_CHR_BITS, DC_CHR_VALS))
+    out += _seg(0xC4, _dht_body(1, 0, PROG_AC_BITS, PROG_AC_VALS))
+
+    def sos(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            body += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | 0])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    def order_for(scan_comps):
+        triples = [(ci, 0 if ci == 0 else 1, 0) for ci in scan_comps]
+        return _prog_block_order(triples, comps, grids, mcux, mcuy,
+                                 hmax, vmax, h, w)
+
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    all_comps = list(range(ncomp))
+    out += sos(all_comps, 0, 0, 0, dc_al)
+    sw = _SegmentedWriter(restart_interval)
+    _emit_dc_first(sw, order_for(all_comps), coefs, dc_al,
+                   {ci: dc_codes[0 if ci == 0 else 1] for ci in all_comps})
+    out += sw.finish()
+    for ci in all_comps:
+        for ss, se in bands:
+            out += sos([ci], ss, se, 0, ac_al)
+            sw = _SegmentedWriter(restart_interval)
+            _emit_ac_first(sw, order_for([ci]), coefs[ci], ac_codes,
+                           ss, se, ac_al)
+            out += sw.finish()
+    for al in range(dc_al - 1, -1, -1):
+        out += sos(all_comps, 0, 0, al + 1, al)
+        sw = _SegmentedWriter(restart_interval)
+        _emit_dc_refine(sw, order_for(all_comps), coefs, al)
+        out += sw.finish()
+    for al in range(ac_al - 1, -1, -1):
+        for ci in all_comps:
+            for ss, se in bands:
+                out += sos([ci], ss, se, al + 1, al)
+                sw = _SegmentedWriter(restart_interval)
+                _emit_ac_refine(sw, order_for([ci]), coefs[ci], ac_codes,
+                                ss, se, al)
+                out += sw.finish()
+    out += b"\xff\xd9"                  # EOI
+    return bytes(out)
+
+
 # --- decoder ------------------------------------------------------------
 
 
-def _destuff(data: bytes) -> bytes:
-    """Strip 0xFF00 byte stuffing, stopping at the first real marker
-    (anything 0xFFxx with xx not in {0x00}).  Restart markers (RSTn)
-    are rejected upstream via the DRI check."""
+def _destuff(data: bytes) -> tuple[list[bytes], int]:
+    """Split one scan's entropy data into its restart segments: strip
+    0xFF00 byte stuffing, cut a new segment at every RSTn marker
+    (0xFFD0..0xFFD7), and stop at the first other marker.  Returns
+    (segments, consumed) where `consumed` is the offset of the
+    terminating 0xFF (or len(data) if none) — progressive streams
+    resume marker parsing there for the next scan.  A scan without
+    restart intervals yields exactly one segment."""
+    segs: list[bytes] = []
     out = bytearray()
     i, n = 0, len(data)
     while i < n:
         j = data.find(0xFF, i)
         if j < 0:
             out += data[i:]
+            i = n
             break
         out += data[i:j]
         nxt = data[j + 1] if j + 1 < n else 0xD9
         if nxt == 0x00:
             out.append(0xFF)
             i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:       # RSTn: segment boundary
+            segs.append(bytes(out))
+            out = bytearray()
+            i = j + 2
         else:
+            i = j
             break                       # real marker terminates the scan
-    return bytes(out)
+    segs.append(bytes(out))
+    return segs, i
+
+
+class _SegmentedReader:
+    """Per-scan bit reader over restart segments.  Call `boundary(n)`
+    before group n (an MCU, or one block in a non-interleaved
+    progressive scan): it returns True exactly when a restart boundary
+    was crossed — the caller must then reset its DC predictions /
+    EOB-run state, per T.81 F.2.1.3.1."""
+
+    def __init__(self, segments: list[bytes], ri: int) -> None:
+        self.segments = segments
+        self.ri = ri
+        self.seg_i = 0
+        self.br = _BitReader(segments[0])
+
+    def boundary(self, n: int) -> bool:
+        if self.ri and n and n % self.ri == 0:
+            self.seg_i += 1
+            if self.seg_i >= len(self.segments):
+                raise ValueError("missing restart segment")
+            self.br = _BitReader(self.segments[self.seg_i])
+            return True
+        return False
+
+
+def _read_sym(br: _BitReader, lut) -> int:
+    sym_t, len_t = lut
+    v = br.peek16()
+    length = int(len_t[v])
+    if length == 0:
+        raise ValueError("invalid Huffman code in entropy segment")
+    br.pos += length
+    return int(sym_t[v])
+
+
+def _decode_scan_baseline(sr, scan, comps, coefs, grids, mcux, mcuy,
+                          dc_luts, ac_luts, max_mcus) -> None:
+    """Sequential-DCT scan: full-band (DC + AC 1..63) interleaved MCUs.
+    Restart boundaries (every `sr.ri` MCUs) reset the DC predictions
+    and byte-align onto the next entropy segment."""
+    preds = [0] * len(comps)
+
+    def read_block(blk, ci, dct, act) -> None:
+        br = sr.br
+        dc_lut, ac_lut = dc_luts[dct], ac_luts[act]
+        size = _read_sym(br, dc_lut)
+        diff = _extend(br.take(size), size)
+        preds[ci] += diff
+        blk[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = _read_sym(br, ac_lut)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:             # ZRL
+                    k += 16
+                    continue
+                break                   # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            blk[k] = _extend(br.take(s), s)
+            k += 1
+
+    n_mcus = mcux * mcuy
+    n_scan = n_mcus if max_mcus is None else min(n_mcus, max_mcus)
+    for n in range(n_scan):
+        if sr.boundary(n):
+            preds = [0] * len(comps)
+        my, mx = divmod(n, mcux)
+        for ci, dct, act in scan:
+            _, _, hi, vi = comps[ci]
+            gw = grids[ci][0]
+            # Hi x Vi data units per MCU, raster order inside the MCU
+            for by in range(vi):
+                for bx in range(hi):
+                    idx = (my * vi + by) * gw + (mx * hi + bx)
+                    read_block(coefs[ci][idx], ci, dct, act)
+
+
+def _prog_block_order(scan, comps, grids, mcux, mcuy, hmax, vmax, h, w):
+    """Groups of (ci, idx) for one progressive scan, one group per
+    restart-counting unit.  ns > 1 -> interleaved MCU order (T.81
+    A.2.3), one group per MCU; ns == 1 -> non-interleaved raster order
+    over the component's OWN block grid, computed from its actual
+    sample dimensions (A.2.2 — NOT the MCU-padded grid), one group per
+    block (the non-interleaved MCU)."""
+    groups: list[list[tuple[int, int]]] = []
+    if len(scan) > 1:
+        for n in range(mcux * mcuy):
+            my, mx = divmod(n, mcux)
+            g: list[tuple[int, int]] = []
+            for ci, _, _ in scan:
+                _, _, hi, vi = comps[ci]
+                gw = grids[ci][0]
+                for by in range(vi):
+                    for bx in range(hi):
+                        g.append((ci, (my * vi + by) * gw + (mx * hi + bx)))
+            groups.append(g)
+    else:
+        ci = scan[0][0]
+        _, _, hi, vi = comps[ci]
+        gw = grids[ci][0]
+        cx = (w * hi + hmax - 1) // hmax    # comp samples across
+        cy = (h * vi + vmax - 1) // vmax
+        for by in range((cy + 7) // 8):
+            for bx in range((cx + 7) // 8):
+                groups.append([(ci, by * gw + bx)])
+    return groups
+
+
+def _prog_dc_first(sr, groups, scan, coefs, al, dc_luts) -> None:
+    """G.2 DC first scan: diffs of the point transform v >> Al
+    (arithmetic shift), stored as decoded << Al.  Restart boundaries
+    reset the predictions."""
+    luts = {}
+    for ci, dct, _ in scan:
+        if dct not in dc_luts:
+            raise ValueError(f"missing Huffman table dc={dct}")
+        luts[ci] = dc_luts[dct]
+    preds = {ci: 0 for ci, _, _ in scan}
+    for n, group in enumerate(groups):
+        if sr.boundary(n):
+            preds = {ci: 0 for ci, _, _ in scan}
+        for ci, idx in group:
+            size = _read_sym(sr.br, luts[ci])
+            preds[ci] += _extend(sr.br.take(size), size)
+            coefs[ci][idx, 0] = preds[ci] << al
+
+
+def _prog_dc_refine(sr, groups, coefs, al) -> None:
+    """G.1.2.1 DC refinement: one appended magnitude bit per block.
+    OR-ing the bit at position Al is exact for negatives too, because
+    the first scan stored the arithmetic-shift approximation
+    (v >> Ah) << Ah and two's complement satisfies
+    v == ((v >> 1) << 1) | (v & 1)."""
+    p1 = 1 << al
+    for n, group in enumerate(groups):
+        sr.boundary(n)                  # no cross-MCU state beyond the reader
+        for ci, idx in group:
+            if sr.br.take(1):
+                coefs[ci][idx, 0] |= p1
+
+
+def _prog_ac_first(sr, groups, zz, ac_lut, ss, se, al) -> None:
+    """G.1.2.2 AC first scan over band [Ss, Se]: run-length coded
+    point-transformed coefficients with EOBn end-of-band runs (which
+    never cross a restart boundary)."""
+    eobrun = 0
+    for n, group in enumerate(groups):
+        if sr.boundary(n):
+            eobrun = 0
+        br = sr.br
+        (_, idx), = group               # AC scans are non-interleaved
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        blk = zz[idx]
+        k = ss
+        while k <= se:
+            rs = _read_sym(br, ac_lut)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:             # EOBn: run = 2^r + appended bits
+                    eobrun = (1 << r) - 1   # this block counts as one
+                    if r:
+                        eobrun += br.take(r)
+                    break
+                k += 16                 # ZRL
+            else:
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflows band")
+                blk[k] = _extend(br.take(s), s) << al
+                k += 1
+
+
+def _prog_ac_refine(sr, groups, zz, ac_lut, ss, se, al) -> None:
+    """G.1.2.3 AC refinement: correction bits for history-nonzero
+    coefficients interleaved with runs that position newly-nonzero
+    +-1<<Al coefficients; EOB runs carry the remaining-band correction
+    bits and never cross a restart boundary.  (Same control flow as
+    the spec's figure G.7 / the libjpeg public-domain reference
+    structure.)"""
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+
+    def correct(blk, k) -> None:
+        if sr.br.take(1) and (int(blk[k]) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else m1
+
+    for n, group in enumerate(groups):
+        if sr.boundary(n):
+            eobrun = 0
+        br = sr.br
+        (_, idx), = group               # AC scans are non-interleaved
+        blk = zz[idx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _read_sym(br, ac_lut)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.take(r)
+                        break           # rest of band via EOB logic below
+                    # ZRL: skip 16 zero-history positions (r == 15)
+                elif s == 1:
+                    newval = p1 if br.take(1) else m1
+                else:
+                    raise ValueError("invalid AC refinement size")
+                # advance over r zero-history coefficients, emitting a
+                # correction bit for every nonzero-history one passed
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement position beyond band")
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:              # corrections for the band tail
+                if blk[k] != 0:
+                    correct(blk, k)
+                k += 1
+            eobrun -= 1
+
+
+def _decode_scan_progressive(sr, scan, comps, coefs, grids, mcux, mcuy,
+                             hmax, vmax, h, w, ss, se, ah, al,
+                             dc_luts, ac_luts) -> None:
+    """Dispatch one progressive scan (spectral selection Ss..Se,
+    successive approximation Ah -> Al) to the four G.2 scan kinds."""
+    if se > 63 or (ss == 0) != (se == 0) or al > 13 or \
+            (ah != 0 and ah != al + 1):
+        raise ValueError("invalid progressive scan header")
+    groups = _prog_block_order(scan, comps, grids, mcux, mcuy,
+                               hmax, vmax, h, w)
+    if ss == 0:                         # DC scan
+        if ah == 0:
+            _prog_dc_first(sr, groups, scan, coefs, al, dc_luts)
+        else:
+            _prog_dc_refine(sr, groups, coefs, al)
+        return
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    act = scan[0][2]
+    if act not in ac_luts:
+        raise ValueError(f"missing Huffman table ac={act}")
+    ci = scan[0][0]
+    if ah == 0:
+        _prog_ac_first(sr, groups, coefs[ci], ac_luts[act], ss, se, al)
+    else:
+        _prog_ac_refine(sr, groups, coefs[ci], ac_luts[act], ss, se, al)
 
 
 def decode_coefficients(b: bytes, max_mcus: int | None = None):
-    """Parse a baseline JPEG and entropy-decode its quantized
-    coefficients WITHOUT dequant/IDCT.  Returns (meta, coefs) where
-    meta = dict(h, w, ncomp, qtabs per component) and coefs is a list
-    of (nblocks, 64) int32 zigzag-order arrays per component.  Split
-    out so tests can assert exact Huffman/zigzag integrity against the
-    encoder's known coefficients (float-free comparison).  `max_mcus`
-    stops the sequential entropy scan after that many MCUs (prefix
-    decode — the stream is sequential, so a valid prefix proves marker
-    parsing + Huffman tables + entropy decode without paying for the
-    whole image; remaining blocks stay zero)."""
+    """Parse a baseline (SOF0/1) or progressive (SOF2) JPEG and
+    entropy-decode its quantized coefficients WITHOUT dequant/IDCT.
+    Returns (meta, coefs) where meta = dict(h, w, ncomp, qtabs per
+    component, progressive flag) and coefs is a list of (nblocks, 64)
+    int32 zigzag-order arrays per component.  Split out so tests can
+    assert exact Huffman/zigzag integrity against the encoder's known
+    coefficients (float-free comparison).  Progressive streams decode
+    every scan in marker order (DC first/refine, AC spectral bands
+    first/refine with EOB runs), accumulating into the same coefficient
+    arrays.  `max_mcus` stops a SEQUENTIAL entropy scan after that many
+    MCUs (prefix decode — a valid prefix proves marker parsing +
+    Huffman tables + entropy decode without paying for the whole image;
+    remaining blocks stay zero); it is ignored for progressive streams,
+    whose per-scan passes are already cheap relative to one sequential
+    full-band pass."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    dc_luts: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    ac_luts: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    dc_luts: dict[int, tuple[list[int], list[int]]] = {}
+    ac_luts: dict[int, tuple[list[int], list[int]]] = {}
     h = w = None
-    comps: list[tuple[int, int]] = []   # (comp_id, qtab_id)
-    scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_table, ac_table)
-    entropy_at = None
+    comps: list[tuple[int, int, int, int]] = []  # (comp_id, qtab_id, hi, vi)
+    progressive = False
+    coefs = grids = None
+    hmax = vmax = mcux = mcuy = 0
+    ri = 0                              # restart interval (DRI), in MCUs
+    scanned = False
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"marker sync lost at {pos}")
         marker = b[pos + 1]
         if marker == 0xD9:              # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers (TEM/RSTn/SOI) have no length field and
+            # are never valid here (DRI must be 0)
+            raise ValueError(f"unexpected standalone marker 0xFF{marker:02X}")
         ln = int.from_bytes(b[pos + 2 : pos + 4], "big")
         body = b[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:              # DQT (possibly several tables)
@@ -465,11 +1061,14 @@ def decode_coefficients(b: bytes, max_mcus: int | None = None):
                 vals = list(body[i + 17 : i + 17 + nv])
                 (dc_luts if tc == 0 else ac_luts)[th] = _decode_lut(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if h is not None:
+                raise ValueError("multiple SOF segments")
             if len(body) < 6 or len(body) < 6 + 3 * body[5]:
                 raise ValueError("truncated SOF segment")
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -483,19 +1082,32 @@ def decode_coefficients(b: bytes, max_mcus: int | None = None):
                         f"sampling factor {hi}x{vi} unsupported (1-2 only)"
                     )
                 comps.append((cid, tq, hi, vi))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if h == 0 or w == 0 or not comps:
+                raise ValueError("degenerate SOF dimensions")
+            hmax = max(hi for _, _, hi, _ in comps)
+            vmax = max(vi for _, _, _, vi in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            grids = [(mcux * hi, mcuy * vi) for _, _, hi, vi in comps]
+            coefs = [np.zeros((gw * gh, 64), dtype=np.int32)
+                     for gw, gh in grids]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline SOF marker 0xFF{marker:02X} "
-                "(progressive/arithmetic) unsupported"
+                "(lossless/arithmetic/hierarchical) unsupported"
             )
         elif marker == 0xDD:            # DRI
-            if int.from_bytes(body[0:2], "big") != 0:
-                raise NotImplementedError("restart intervals unsupported")
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            ri = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:            # SOS
-            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+            if coefs is None:
+                raise ValueError("SOS before SOF")
+            if len(body) < 4 or len(body) < 4 + 2 * body[0]:
                 raise ValueError("truncated SOS segment")
             ns = body[0]
+            scan: list[tuple[int, int, int]] = []
             for si in range(ns):
                 cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
                 idx = next(
@@ -505,74 +1117,40 @@ def decode_coefficients(b: bytes, max_mcus: int | None = None):
                 if idx is None:
                     raise ValueError(f"SOS references unknown component {cid}")
                 scan.append((idx, tabs >> 4, tabs & 15))
-            entropy_at = pos + 2 + ln
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            # poison-payload hardening: every table id the scan references
+            # must have been defined by a DQT/DHT segment (malformed ->
+            # ValueError, never a KeyError escaping into an executor)
+            for _, tq, _, _ in comps:
+                if tq not in qtables:
+                    raise ValueError(f"missing quantization table {tq}")
+            segs, used = _destuff(b[pos + 2 + ln :])
+            if ri == 0 and len(segs) > 1:
+                raise ValueError("restart marker without DRI")
+            sr = _SegmentedReader(segs, ri)
+            if not progressive:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("invalid sequential scan header")
+                for _, dct, act in scan:
+                    if dct not in dc_luts or act not in ac_luts:
+                        raise ValueError(
+                            f"missing Huffman table dc={dct}/ac={act}"
+                        )
+                _decode_scan_baseline(sr, scan, comps, coefs, grids,
+                                      mcux, mcuy, dc_luts, ac_luts, max_mcus)
+                scanned = True
+                break                   # single scan; trailing bytes ignored
+            _decode_scan_progressive(sr, scan, comps, coefs, grids,
+                                     mcux, mcuy, hmax, vmax, h, w,
+                                     ss, se, ah, al, dc_luts, ac_luts)
+            scanned = True
+            pos = pos + 2 + ln + used   # resume marker parse after entropy
+            continue
         # APPn / COM / others: skip by length
         pos += 2 + ln
-    if h is None or entropy_at is None:
+    if not scanned:
         raise ValueError("JPEG missing SOF/SOS")
-    # poison-payload hardening: every table id the scan references must
-    # have been defined by a DQT/DHT segment (malformed -> ValueError,
-    # never a KeyError escaping into an executor)
-    for _, tq, _, _ in comps:
-        if tq not in qtables:
-            raise ValueError(f"missing quantization table {tq}")
-    for _, dct, act in scan:
-        if dct not in dc_luts or act not in ac_luts:
-            raise ValueError(f"missing Huffman table dc={dct}/ac={act}")
-
-    br = _BitReader(_destuff(b[entropy_at:]))
-    hmax = max(hi for _, _, hi, _ in comps)
-    vmax = max(vi for _, _, _, vi in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per-component block-grid dims (MCU-padded)
-    grids = [(mcux * hi, mcuy * vi) for _, _, hi, vi in comps]
-    coefs = [np.zeros((gw * gh, 64), dtype=np.int32) for gw, gh in grids]
-    preds = [0] * len(comps)
-
-    def read_sym(lut) -> int:
-        sym_t, len_t = lut
-        v = br.peek16()
-        length = int(len_t[v])
-        if length == 0:
-            raise ValueError("invalid Huffman code in entropy segment")
-        br.pos += length
-        return int(sym_t[v])
-
-    def read_block(blk, ci, dct, act) -> None:
-        dc_lut, ac_lut = dc_luts[dct], ac_luts[act]
-        size = read_sym(dc_lut)
-        diff = _extend(br.take(size), size)
-        preds[ci] += diff
-        blk[0] = preds[ci]
-        k = 1
-        while k < 64:
-            rs = read_sym(ac_lut)
-            r, s = rs >> 4, rs & 15
-            if s == 0:
-                if r == 15:             # ZRL
-                    k += 16
-                    continue
-                break                   # EOB
-            k += r
-            if k > 63:
-                raise ValueError("AC run overflows block")
-            blk[k] = _extend(br.take(s), s)
-            k += 1
-
-    n_mcus = mcux * mcuy
-    n_scan = n_mcus if max_mcus is None else min(n_mcus, max_mcus)
-    for n in range(n_scan):
-        my, mx = divmod(n, mcux)
-        for ci, dct, act in scan:
-            _, _, hi, vi = comps[ci]
-            gw = grids[ci][0]
-            # Hi x Vi data units per MCU, raster order inside the MCU
-            for by in range(vi):
-                for bx in range(hi):
-                    idx = (my * vi + by) * gw + (mx * hi + bx)
-                    read_block(coefs[ci][idx], ci, dct, act)
     meta = {
         "h": h,
         "w": w,
@@ -580,6 +1158,7 @@ def decode_coefficients(b: bytes, max_mcus: int | None = None):
         "qtabs": [qtables[tq] for _, tq, _, _ in comps],
         "sampling": [(hi, vi) for _, _, hi, vi in comps],
         "grids": grids,
+        "progressive": progressive,
     }
     return meta, coefs
 

@@ -345,13 +345,13 @@ def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
 def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
     """Real decode for raster images (pure NumPy, no codec libraries):
     24-bit BMP, binary PPM, 8-bit truecolor PNG (stdlib zlib inflate +
-    NumPy unfiltering), and baseline JPEG (sequential DCT — grayscale,
-    4:4:4 as in the reference's own test_image.jpg, 4:2:0, and 4:2:2;
-    see ocr_spark/functions/jpeg.py), routed by magic bytes.
-    Progressive JPEG, compressed audio, and inter-coded video remain
-    the single marked seam where PIL/librosa/pyav would plug in — the
-    distributed plumbing around this function is identical either
-    way."""
+    NumPy unfiltering), and JPEG — baseline sequential DCT (grayscale,
+    4:4:4 as in the reference's own test_image.jpg, 4:2:0, 4:2:2) AND
+    progressive SOF2 (spectral selection + successive approximation;
+    see ocr_spark/functions/jpeg.py) — routed by magic bytes.
+    Compressed audio and inter-coded video remain the single marked
+    seam where librosa/pyav would plug in — the distributed plumbing
+    around this function is identical either way."""
     if media_type == "image":
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
@@ -376,8 +376,8 @@ def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
         return _decode_mjpeg_avi(payload)
     raise NotImplementedError(
         f"no in-sandbox codec for media_type={media_type!r} "
-        f"magic={payload[:4]!r}; progressive jpeg, compressed audio, "
-        "and inter-coded video decode needs PIL/librosa/pyav "
+        f"magic={payload[:4]!r}; compressed audio and inter-coded "
+        "video decode needs librosa/pyav "
         "(deterministic stub path: decode_media_features)"
     )
 
@@ -552,6 +552,67 @@ def decode_jpegs_real(df: DataFrame) -> DataFrame:
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             withp = synthesize_jpeg_payloads(pdf)
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "n_px", "px_sum")}
+            for doc_id, payload in zip(withp["doc_id"], withp["payload"]):
+                arr = decode_media_real(payload, "image")
+                h, w, _ = arr.shape
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(w * h)
+                rows["px_sum"].append(int(arr.astype(np.int64).sum()))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return pruned.mapInPandas(gen, schema=IMAGE_DECODE_SCHEMA_DDL)
+
+
+def synthesize_progressive_jpeg_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic PROGRESSIVE (SOF2) JPEG fixture per doc_id, with a
+    closed-form pixel payload that is exact through the multi-scan
+    pipeline.  Tile grid: TX = 1 + doc_id % 4 across, TY = 1 + doc_id % 3
+    down; tile (bx, by) carries flat value v = base + 5*bx + 11*by
+    (base = 20 + doc_id % 170) PLUS amp * pattern where
+    pattern = [1,-1,-1,1,1,-1,-1,1] along columns (amp = 1 + doc_id % 17).
+    The pattern is the sign layout of the (u=0, v=4) DCT basis, whose
+    rows/columns all have |A| = sqrt(2)/4, so the FDCT of one tile is
+    EXACTLY two integer coefficients — DC = 8*(v-128) and AC 8*amp at
+    zigzag position 14 — making the successive-approximation +
+    spectral-selection round-trip lossless and px_sum independent of
+    amp (the pattern sums to zero per row):
+    px_sum = 3 * 64 * sum(tiles).  Unlike the flat-tile baseline
+    fixture, every payload exercises nonzero-AC band scans, EOB runs,
+    and both refinement scan kinds."""
+    from ocr_spark.functions.jpeg import encode_progressive
+
+    pattern = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    payloads = []
+    for doc_id in pdf["doc_id"]:
+        tx = 1 + int(doc_id) % 4
+        ty = 1 + int(doc_id) % 3
+        base = 20 + int(doc_id) % 170
+        amp = 1 + int(doc_id) % 17
+        bx = np.arange(tx, dtype=np.int64)
+        by = np.arange(ty, dtype=np.int64)
+        tiles = base + 5 * bx[None, :] + 11 * by[:, None]
+        arr = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+        arr = arr + amp * np.tile(pattern, tx)[None, :]
+        payloads.append(encode_progressive(arr.astype(np.uint8)))
+    return pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                         "payload": payloads})
+
+
+def decode_progressive_jpegs_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL progressive-JPEG decode (the SOF2 twin of
+    decode_jpegs_real): synthesize the checker-basis progressive JPEG
+    per doc_id inside mapInPandas, decode its DC/AC/refinement scans
+    with the pure-NumPy decoder, emit measured geometry + pixel sum.
+    Narrow op, zero shuffle."""
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            withp = synthesize_progressive_jpeg_payloads(pdf)
             rows = {k: [] for k in
                     ("doc_id", "width", "height", "n_px", "px_sum")}
             for doc_id, payload in zip(withp["doc_id"], withp["payload"]):
@@ -780,8 +841,13 @@ def synthesize_mixed_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
     format cycles BMP / PNG / JPEG (each with the same closed-form
     geometry as its dedicated fixture), and every doc_id % 10 == 7
     payload is truncated to 25 bytes — guaranteed mid-marker, so decode
-    MUST yield an error row, never a crash."""
-    from ocr_spark.functions.jpeg import encode_baseline
+    MUST yield an error row, never a crash.  Half the JPEG rows
+    (doc_id % 6 == 5) are encoded PROGRESSIVE (SOF2) instead of
+    baseline: flat tiles decode identically under both modes, so the
+    closed-form oracle is unchanged while the envelope also covers
+    multi-scan streams — including truncated-progressive poison
+    (doc_id % 30 == 17)."""
+    from ocr_spark.functions.jpeg import encode_baseline, encode_progressive
 
     payloads = []
     for doc_id in pdf["doc_id"]:
@@ -802,7 +868,7 @@ def synthesize_mixed_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
             by = np.arange(ty, dtype=np.int64)
             tiles = base + 5 * bx[None, :] + 11 * by[:, None]
             arr = np.kron(tiles, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
-            p = encode_baseline(arr)
+            p = encode_progressive(arr) if d % 6 == 5 else encode_baseline(arr)
         if d % 10 == 7:
             p = p[:25]
         payloads.append(p)

@@ -19,6 +19,7 @@ from ocr_spark.functions.jpeg import (
     decode_baseline,
     decode_coefficients,
     encode_baseline,
+    encode_progressive,
 )
 
 REF_JPEG = "/root/reference/test_image.jpg"
@@ -98,12 +99,129 @@ def test_lossy_quant_tables_still_decode():
     assert abs(float(out.mean()) - float(img.mean())) < 4
 
 
-def test_progressive_sof_rejected():
+def test_sequential_scan_under_sof2_rejected():
+    # a baseline stream whose SOF marker is rewritten to SOF2 is
+    # malformed: its single full-band scan header (Ss=0, Se=63) is
+    # invalid for progressive mode -> ValueError, not a wrong decode
     b = bytearray(encode_baseline(np.zeros((8, 8), dtype=np.uint8)))
     i = bytes(b).find(b"\xff\xc0")
     b[i + 1] = 0xC2                     # rewrite SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+    with pytest.raises(ValueError, match="progressive scan header"):
         decode_coefficients(bytes(b))
+
+
+def test_progressive_coefficient_integrity_gray():
+    # float-free: the multi-scan progressive stream (spectral bands +
+    # DC/AC successive-approximation refinements) must reassemble the
+    # EXACT quantized coefficients the encoder started from
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, size=(24, 40)).astype(np.uint8)
+    expect = _fdct_quant(img, np.ones((8, 8), dtype=np.int64))
+    meta, coefs = decode_coefficients(encode_progressive(img))
+    assert meta["progressive"] is True
+    assert np.array_equal(coefs[0], expect)
+
+
+def test_progressive_pixels_match_baseline():
+    # same coefficients -> same pixels: the SOF2 path must agree with
+    # the sequential path bit-for-bit after IDCT
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, size=(16, 24, 3)).astype(np.uint8)
+    out_p = decode_baseline(encode_progressive(img))
+    out_b = decode_baseline(encode_baseline(img))
+    assert np.array_equal(out_p, out_b)
+
+
+def test_progressive_420_non_multiple_dims():
+    # 4:2:0 exercises interleaved DC MCUs vs NON-interleaved AC scans
+    # whose per-component grids differ from the MCU-padded grid when
+    # dims aren't multiples of 16
+    rng = np.random.RandomState(37)
+    img = rng.randint(0, 256, size=(21, 37, 3)).astype(np.uint8)
+    out_p = decode_baseline(encode_progressive(img, subsampling="420"))
+    out_b = decode_baseline(encode_baseline(img, subsampling="420"))
+    assert out_p.shape == (21, 37, 3)
+    assert np.array_equal(out_p, out_b)
+
+
+def test_progressive_deep_successive_approximation():
+    # 3-bit DC / 2-bit AC approximation chains: multiple refinement
+    # scans per coefficient, finer spectral bands
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, size=(24, 24)).astype(np.uint8)
+    expect = _fdct_quant(img, np.ones((8, 8), dtype=np.int64))
+    b = encode_progressive(img, dc_al=3, ac_al=2,
+                           bands=((1, 2), (3, 8), (9, 63)))
+    _, coefs = decode_coefficients(b)
+    assert np.array_equal(coefs[0], expect)
+
+
+def test_progressive_flat_image_eobrun():
+    # a flat image makes every AC band empty -> the encoder must emit
+    # accumulated EOBn runs (absent from sequential streams) and the
+    # decoder must walk them; round-trip stays exact
+    flat = np.full((64, 64), 130, dtype=np.uint8)
+    assert np.array_equal(decode_baseline(encode_progressive(flat)), flat)
+
+
+def test_restart_interval_baseline_roundtrip():
+    # DRI + RSTn markers: DC predictions reset per segment, readers
+    # re-align at every marker; pixels must match the no-restart stream
+    rng = np.random.RandomState(43)
+    img = rng.randint(0, 256, size=(40, 56)).astype(np.uint8)
+    ref = decode_baseline(encode_baseline(img))
+    for ri in (1, 3, 8):
+        b = encode_baseline(img, restart_interval=ri)
+        n_rst = sum(b.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+        assert n_rst == (35 + ri - 1) // ri - 1     # 5x7 = 35 MCUs
+        assert np.array_equal(decode_baseline(b), ref)
+
+
+def test_restart_interval_420_color():
+    rng = np.random.RandomState(47)
+    img = rng.randint(0, 256, size=(33, 49, 3)).astype(np.uint8)
+    b = encode_baseline(img, subsampling="420", restart_interval=2)
+    ref = decode_baseline(encode_baseline(img, subsampling="420"))
+    assert np.array_equal(decode_baseline(b), ref)
+
+
+def test_restart_interval_progressive_coefficient_exact():
+    # restart boundaries interact with every progressive scan kind:
+    # DC pred resets, EOB runs forced to flush at segment ends
+    rng = np.random.RandomState(53)
+    img = rng.randint(0, 256, size=(40, 56)).astype(np.uint8)
+    expect = _fdct_quant(img, np.ones((8, 8), dtype=np.int64))
+    for ri in (1, 4):
+        _, coefs = decode_coefficients(
+            encode_progressive(img, restart_interval=ri)
+        )
+        assert np.array_equal(coefs[0], expect)
+
+
+def test_restart_marker_without_dri_rejected():
+    img = np.full((24, 24), 90, dtype=np.uint8)
+    b = bytearray(encode_baseline(img, restart_interval=2))
+    i = bytes(b).find(b"\xff\xdd")
+    del b[i : i + 6]                    # strip DRI, keep the RSTn markers
+    with pytest.raises(ValueError, match="restart"):
+        decode_coefficients(bytes(b))
+
+
+def test_missing_restart_segment_raises():
+    rng = np.random.RandomState(59)
+    img = rng.randint(0, 256, size=(40, 56)).astype(np.uint8)
+    b = encode_baseline(img, restart_interval=2)
+    cut = b.find(b"\xff\xd1")           # truncate at the second RST
+    assert cut > 0
+    with pytest.raises(ValueError):
+        decode_baseline(b[:cut] + b"\xff\xd9")
+
+
+def test_progressive_truncated_raises():
+    b = encode_progressive(np.full((16, 16), 77, dtype=np.uint8))
+    for frac in (3, 2):
+        with pytest.raises(ValueError):
+            decode_baseline(b[: len(b) // frac])
 
 
 def test_420_gray_content_exact():
@@ -197,6 +315,10 @@ def test_mutation_fuzz_raises_only_value_errors():
     valid = {
         "image": [encode_bmp(img), encode_png(img), encode_baseline(gray),
                   encode_baseline(img, subsampling="420"),
+                  encode_progressive(gray),
+                  encode_progressive(img, subsampling="420"),
+                  encode_baseline(gray, restart_interval=2),
+                  encode_progressive(gray, restart_interval=2),
                   b"P6 24 16 255\n" + img.tobytes()],
         "audio": [encode_wav(samples, 8000)],
         "video": [encode_mjpeg_avi([encode_baseline(gray)], 10, 24, 16)],
