@@ -655,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": _q_doc_fingerprint,
         "q_dedup_clusters": _q_dedup_clusters,
         "q_countmin_sketch": _q_countmin_sketch,
+        "q_bloom_filter": _q_bloom_filter,
+        "q_hll_distinct": _q_hll_distinct,
         # --- similarity search ----------------------------------------------
         "q_embedding_topk": _q_embedding_topk,
         "q_embedding_ann_lsh": _q_embedding_ann_lsh,
@@ -1221,6 +1223,141 @@ def _q_countmin_sketch(spark, sf_dir):
         .select("c.row_id", "c.col_id")
         .groupBy("row_id", "col_id")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+# Bloom-filter membership (P28): the third mergeable sketch beside
+# Count-Min (frequency) and the histogram quantiles — a fixed-size bit
+# set answering "was this key in the corpus?" with no false negatives.
+# The key universe is per-document CONTENT HASHES (md5(text)) — the
+# production pre-filter in front of an exact-dedup join: a new batch
+# probes the filter and only bloom-positive documents pay the shuffle.
+# Build = one distinct-bit aggregate (65,536 bits regardless of corpus
+# size; per-partition filters OR together, which is what makes Bloom
+# the standard 100 TB pre-join / scan-pruning structure).  Probe = the
+# tiny bit table BROADCAST against a deterministic probe set: the
+# content hashes of every doc_id % 20 == 3 document (truth=1 by
+# construction — no false negatives possible) plus the same hashes
+# suffixed '~x', guaranteed absent (truth=0); their bloom_hit column
+# IS the false-positive set, which both engines must reproduce
+# bit-exactly.
+_BF_BITS = 65536
+_BF_K = 3
+
+
+def _q_bloom_filter(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir)
+    keys = d.select(
+        "doc_id", F.md5(F.col("text")).alias("key")
+    ).localCheckpoint(eager=False)      # build AND probe: one corpus scan
+
+    def pos(r, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bf{r}:"), col)), 1, 15),
+                16, 10,
+            ).cast("long") % F.lit(_BF_BITS)
+        )
+
+    def posarr(col):
+        return F.array(*[pos(r, col) for r in range(_BF_K)])
+
+    bits = (
+        keys.select(F.explode(posarr(F.col("key"))).alias("bit"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    present = keys.filter(F.col("doc_id") % 20 == 3).select(
+        "doc_id",
+        F.col("key").alias("probe"),
+        F.lit(1).cast("long").alias("truth"),
+    )
+    absent = present.select(
+        "doc_id",
+        F.concat(F.col("probe"), F.lit("~x")).alias("probe"),
+        F.lit(0).cast("long").alias("truth"),
+    )
+    probe_bits = present.unionByName(absent).select(
+        "doc_id", "truth", F.explode(posarr(F.col("probe"))).alias("bit")
+    )
+    return (
+        probe_bits.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "truth")
+        .agg(
+            F.min(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("bloom_hit")         # 1 iff ALL K bits set
+        )
+    )
+
+
+# HyperLogLog-shaped distinct sketch (P29): per-language register table
+# folded to a fixed-point estimate, next to the exact count for
+# contrast.  One distinct aggregate feeds 64 max-registers per group —
+# registers merge by MAX, so the sketch is partition- and
+# stream-mergeable like Count-Min/Bloom/quantile-histogram.  All
+# arithmetic is integer (rho via the bin() string length both engines
+# share; Z and the alpha*m^2/Z estimate in 2^30 fixed point), so the
+# estimate matches DuckDB bit-for-bit — no float libm divergence.
+_HLL_M = 64                             # registers (p = 6)
+_HLL_S = 1 << 30                        # fixed-point scale for Z
+
+
+def _q_hll_distinct(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    words = (
+        d.select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ")
+            ).alias("w"),
+        )
+        .filter(F.length("w") >= 4)
+        .distinct()
+        .localCheckpoint(eager=False)   # feeds sketch AND exact sides
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col("w"))), 1, 15), 16, 10
+    ).cast("long")
+    hw = words.select("lang", h.alias("h")).select(
+        "lang",
+        (F.col("h") % _HLL_M).alias("j"),
+        F.expr(f"h div {_HLL_M}").alias("h2"),   # 54 remaining hash bits
+    )
+    # rho = leading-zero count + 1 within the 54-bit tail; bitlen via
+    # the binary-string length (exact integer path in both engines)
+    rho = F.when(F.col("h2") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.expr("bin(h2)"))
+    )
+    regs = (
+        hw.select("lang", "j", rho.alias("m"))
+        .groupBy("lang", "j")
+        .agg(F.max("m").alias("m"))
+    )
+    per_lang = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.sum(F.expr(f"shiftright({_HLL_S}, m)")).alias("z_set"),
+    )
+    exact = words.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    z = F.col("z_set") + (F.lit(_HLL_M) - F.col("n_set")) * F.lit(_HLL_S)
+    est = F.expr(
+        f"(709 * {_HLL_M} * {_HLL_M} * cast({_HLL_S} as bigint))"
+        f" div (1000 * z_fp)"
+    )
+    return (
+        per_lang.withColumn("z_fp", z.cast("long"))
+        .join(F.broadcast(exact), "lang")
+        .select(
+            "lang",
+            F.col("n_set").cast("long").alias("n_set"),
+            (F.lit(_HLL_M) - F.col("n_set")).cast("long").alias("v_zero"),
+            "z_fp",
+            est.cast("long").alias("est_distinct"),
+            "exact_distinct",
+        )
     )
 
 
@@ -2593,6 +2730,81 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row_id::BIGINT AS row_id, col_id, count(*)::BIGINT AS cnt
             FROM hashed GROUP BY 1, 2
+        """,
+        "q_bloom_filter": f"""
+            WITH keys AS (
+              SELECT doc_id, md5(text) AS key FROM documents
+            ),
+            bits AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5('bf' || r || ':' || key), 1, 15))::BIGINT
+                       % {_BF_BITS} AS bit
+              FROM keys, (SELECT unnest(range({_BF_K})) AS r)
+            ),
+            probes AS (
+              SELECT doc_id, key AS probe, 1::BIGINT AS truth
+              FROM keys WHERE doc_id % 20 = 3
+              UNION ALL
+              SELECT doc_id, key || '~x' AS probe, 0::BIGINT AS truth
+              FROM keys WHERE doc_id % 20 = 3
+            ),
+            pb AS (
+              SELECT doc_id, truth,
+                     ('0x' || substr(md5('bf' || r || ':' || probe), 1, 15))::BIGINT
+                       % {_BF_BITS} AS bit
+              FROM probes, (SELECT unnest(range({_BF_K})) AS r)
+            )
+            SELECT pb.doc_id, pb.truth,
+                   min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END)::BIGINT
+                     AS bloom_hit
+            FROM pb LEFT JOIN bits b ON pb.bit = b.bit
+            GROUP BY 1, 2
+        """,
+        "q_hll_distinct": f"""
+            WITH words AS (
+              SELECT DISTINCT lang, w FROM (
+                SELECT lang,
+                       unnest(string_split(trim(regexp_replace(
+                         lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                         ' +', ' ', 'g')), ' ')) AS w
+                FROM documents
+              ) WHERE length(w) >= 4
+            ),
+            hw AS (
+              SELECT lang,
+                     h % {_HLL_M} AS j,
+                     h // {_HLL_M} AS h2
+              FROM (
+                SELECT lang,
+                       ('0x' || substr(md5('hll:' || w), 1, 15))::BIGINT AS h
+                FROM words
+              )
+            ),
+            regs AS (
+              SELECT lang, j,
+                     max(CASE WHEN h2 = 0 THEN 55
+                              ELSE 55 - length(bin(h2)) END) AS m
+              FROM hw GROUP BY 1, 2
+            ),
+            per_lang AS (
+              SELECT lang,
+                     count(*) AS n_set,
+                     sum({_HLL_S} >> m) AS z_set
+              FROM regs GROUP BY 1
+            ),
+            exact AS (
+              SELECT lang, count(*)::BIGINT AS exact_distinct
+              FROM words GROUP BY 1
+            )
+            SELECT p.lang,
+                   p.n_set::BIGINT AS n_set,
+                   ({_HLL_M} - p.n_set)::BIGINT AS v_zero,
+                   (p.z_set + ({_HLL_M} - p.n_set) * {_HLL_S})::BIGINT AS z_fp,
+                   ((709 * {_HLL_M} * {_HLL_M} * {_HLL_S}::BIGINT)
+                    // (1000 * (p.z_set + ({_HLL_M} - p.n_set) * {_HLL_S})))::BIGINT
+                     AS est_distinct,
+                   e.exact_distinct
+            FROM per_lang p JOIN exact e ON p.lang = e.lang
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS text_md5,
