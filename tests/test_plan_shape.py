@@ -166,6 +166,29 @@ def test_grouping_sets_one_expand_two_projections(spark):
     assert _expand_projections(_plan(entry._q_cube_events(spark, SF))) == 4
 
 
+def test_bloom_filter_broadcasts_bit_table(spark):
+    """The Bloom probe must join against the BROADCAST fixed-size bit
+    table (65,536 bits regardless of corpus size — broadcasting it is
+    the whole point of a Bloom pre-filter), and build+probe must share
+    the ONE checkpointed key materialization, not re-scan the corpus."""
+    plan = _plan(entry._q_bloom_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_hll_single_word_table(spark):
+    """HLL registers and the exact-distinct contrast column must both
+    read the ONE checkpointed distinct-word table (the corpus explode +
+    distinct runs once), and the per-lang exact side joins broadcast
+    (5 languages at any sf)."""
+    plan = _plan(entry._q_hll_distinct(spark, SF))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_dedup_family_materializes_shared_tables(spark):
     """The self-joined dedup/ANN queries materialize their shared
     derived tables (shingles/signatures/buckets) via localCheckpoint —
