@@ -695,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jpeg_decode": _q_jpeg_decode,
         "q_jpeg_progressive": _q_jpeg_progressive,
         "q_wav_decode": _q_wav_decode,
+        "q_g711_decode": _q_g711_decode,
+        "q_adpcm_decode": _q_adpcm_decode,
         "q_mjpeg_frames": _q_mjpeg_frames,
         "q_binary_decode_envelope": _q_binary_decode_envelope,
         # --- extraction/multimodal pipelines (precomputed-table oracles) ---
@@ -2442,6 +2444,37 @@ def _q_wav_decode(spark, sf_dir):
     return decode_wavs_real(d)
 
 
+# REAL G.711 mu-law/A-law decode (round 4 — narrows the compressed-
+# audio seam to perceptual codecs only): per doc, a mono telephony
+# stream whose every sample is an EXACT G.711 codeword is companded
+# (fmt 7 even docs / fmt 6 odd docs) then expanded through the
+# 256-entry ITU tables inside mapInPandas; the codeword construction
+# makes companding lossless, so the oracle recomputes the decoded
+# values from the closed segment/mantissa form — any LUT, sign, or
+# segment-search bug breaks the hash.  mp3/ogg stay the honest seam.
+def _q_g711_decode(spark, sf_dir):
+    from ocr_spark.functions.multimodal import decode_g711_wavs_real
+
+    d = _docs_wide(spark, sf_dir).select("doc_id")
+    return decode_g711_wavs_real(d)
+
+
+# REAL IMA-ADPCM decode (round 4): per doc, a multi-block 4-bit
+# adaptive-DPCM stream whose deltas are exactly representable at
+# step-index 0 (so the sequential predictor tracks losslessly) is
+# block-encoded then decoded inside mapInPandas.  Every block carries
+# its own predictor/index header and is independently decodable — the
+# intra-payload parallel unit, like JPEG restart segments.  The oracle
+# recomputes each sample as base + running delta sum (a window over a
+# lateral range join) — any nibble-packing, header, or step-update bug
+# breaks the hash.
+def _q_adpcm_decode(spark, sf_dir):
+    from ocr_spark.functions.multimodal import decode_adpcm_wavs_real
+
+    d = _docs_wide(spark, sf_dir).select("doc_id")
+    return decode_adpcm_wavs_real(d)
+
+
 # REAL video decode (MJPEG AVI — frames are baseline JPEGs inside a
 # RIFF container, so the pure-NumPy JPEG codec makes the video tier a
 # working decoder too): per doc, an F-frame flat-tile MJPEG AVI is
@@ -3421,6 +3454,67 @@ def oracle_sql() -> dict[str, str]:
             ) d, range(0, 500) t(t), range(0, 2) c(c)
             WHERE t.t < d.n AND c.c < d.ch
             GROUP BY d.doc_id
+        """,
+        "q_g711_decode": """
+            WITH g AS (
+              SELECT doc_id, 300 + doc_id % 50 AS n, doc_id % 2 AS lawbit
+              FROM documents
+            ),
+            s AS (
+              SELECT g.doc_id, g.lawbit,
+                     (CASE WHEN (g.doc_id + t.t) % 2 = 0 THEN 1 ELSE -1 END) *
+                     (CASE WHEN g.lawbit = 0
+                           THEN (((13 * g.doc_id + 7 * t.t) % 16) * 8 + 132)
+                                  * (1 << ((5 * g.doc_id + 3 * t.t) % 8)) - 132
+                           ELSE CASE WHEN (5 * g.doc_id + 3 * t.t) % 8 = 0
+                                THEN ((13 * g.doc_id + 7 * t.t) % 16) * 16 + 8
+                                ELSE (((13 * g.doc_id + 7 * t.t) % 16) * 16 + 264)
+                                       * (1 << (((5 * g.doc_id + 3 * t.t) % 8) - 1))
+                                END
+                      END) AS v
+              FROM g, range(0, 350) t(t) WHERE t.t < g.n
+            )
+            SELECT doc_id,
+                   (CASE WHEN lawbit = 0 THEN 7 ELSE 6 END)::BIGINT AS fmt_code,
+                   count(*)::BIGINT AS n_samples,
+                   8000::BIGINT AS sample_rate,
+                   1::BIGINT AS n_channels,
+                   sum(v)::BIGINT AS val_sum,
+                   sum(abs(v))::BIGINT AS amp_sum,
+                   max(abs(v))::BIGINT AS amp_max
+            FROM s GROUP BY doc_id, lawbit
+        """,
+        "q_adpcm_decode": """
+            WITH g AS (
+              SELECT doc_id, 1 + doc_id % 2 AS ch, 65 * (1 + doc_id % 3) AS n
+              FROM documents
+            ),
+            d AS (
+              SELECT g.doc_id, g.ch, g.n, t.t, c.c,
+                     CASE WHEN t.t = 0 THEN 0 ELSE
+                       CASE (13 * g.doc_id + 7 * t.t + 31 * c.c) % 7
+                         WHEN 0 THEN -4 WHEN 1 THEN -3 WHEN 2 THEN -1
+                         WHEN 3 THEN 0 WHEN 4 THEN 1 WHEN 5 THEN 3
+                         ELSE 4 END
+                     END AS dl
+              FROM g, range(0, 195) t(t), range(0, 2) c(c)
+              WHERE t.t < g.n AND c.c < g.ch
+            ),
+            s AS (
+              SELECT doc_id, ch, n, c,
+                     ((29 * doc_id + 41 * c) % 201) - 100
+                       + sum(dl) OVER (PARTITION BY doc_id, c ORDER BY t) AS v
+              FROM d
+            )
+            SELECT doc_id,
+                   17::BIGINT AS fmt_code,
+                   max(n)::BIGINT AS n_samples,
+                   11025::BIGINT AS sample_rate,
+                   max(ch)::BIGINT AS n_channels,
+                   sum(v)::BIGINT AS val_sum,
+                   sum(abs(v))::BIGINT AS amp_sum,
+                   max(abs(v))::BIGINT AS amp_max
+            FROM s GROUP BY doc_id
         """,
         "q_mjpeg_frames": """
             SELECT doc_id,

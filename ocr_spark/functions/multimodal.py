@@ -305,16 +305,78 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def _riff_wave(fmt_code: int, ch: int, sample_rate: int, block_align: int,
+               bits: int, fmt_extra: bytes, data: bytes) -> bytes:
+    byte_rate = sample_rate * block_align
+    fmt = (
+        fmt_code.to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+        + fmt_extra
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int, law: str) -> bytes:
+    """Encode an (n, ch) int16 array as a G.711-companded RIFF/WAVE
+    file (fmt 7 = mu-law, fmt 6 = A-law) — the fixture twin for the
+    compressed-audio decode path."""
+    from ocr_spark.functions.audio import g711_encode
+
+    assert samples.dtype == np.int16 and samples.ndim == 2
+    n, ch = samples.shape
+    codes = g711_encode(samples.reshape(-1), law)
+    fmt_code = 7 if law == "ulaw" else 6
+    # cbSize=0 extension field, as real telephony WAVs carry
+    return _riff_wave(fmt_code, ch, sample_rate, ch, 8,
+                      (0).to_bytes(2, "little"), codes.tobytes())
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
+                     samples_per_block: int) -> bytes:
+    """Encode an (n, ch) int16 array as an IMA-ADPCM RIFF/WAVE file
+    (fmt 0x11).  n must be an exact multiple of samples_per_block and
+    samples_per_block = 1 + 8k; each block carries its own
+    predictor/index header and is independently decodable — the
+    intra-payload parallel unit."""
+    from ocr_spark.functions.audio import ima_adpcm_encode_block
+
+    assert samples.dtype == np.int16 and samples.ndim == 2
+    n, ch = samples.shape
+    if n % samples_per_block != 0:
+        raise ValueError("sample count must be a multiple of samples_per_block")
+    block_align = 4 * ch + ((samples_per_block - 1) // 2) * ch
+    data = b"".join(
+        ima_adpcm_encode_block(samples[p : p + samples_per_block])
+        for p in range(0, n, samples_per_block)
+    )
+    extra = (2).to_bytes(2, "little") + samples_per_block.to_bytes(2, "little")
+    return _riff_wave(0x11, ch, sample_rate, block_align, 4, extra, data)
+
+
 def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
-    """Pure-NumPy RIFF/WAVE PCM16 decode: walk the chunk list (skipping
+    """Pure-NumPy RIFF/WAVE decode: walk the chunk list (skipping
     unknown chunks by their declared size, with word alignment), parse
-    fmt, return (samples (n, ch) int16, sample_rate).  Float/ADPCM/
-    24-bit streams raise NotImplementedError — the same honest-seam
-    convention as the image decoders."""
+    fmt, return (samples (n, ch) int16, sample_rate).  Supported
+    codecs: PCM16 (fmt 1), G.711 mu-law (fmt 7) / A-law (fmt 6), and
+    IMA/DVI ADPCM (fmt 0x11) — see ocr_spark/functions/audio.py.
+    Float/24-bit/perceptual (mp3/ogg) streams raise
+    NotImplementedError — the same honest-seam convention as the image
+    decoders."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
-    sample_rate = n_channels = None
+    sample_rate = n_channels = fmt_code = bits = None
+    block_align = 0
     data = None
     while pos + 8 <= len(b):
         tag = b[pos : pos + 4]
@@ -324,11 +386,8 @@ def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
             fmt_code = int.from_bytes(body[0:2], "little")
             n_channels = int.from_bytes(body[2:4], "little")
             sample_rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if fmt_code != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"only PCM16 WAV supported (fmt={fmt_code}, bits={bits})"
-                )
         elif tag == b"data":
             data = body
         pos += 8 + ln + (ln & 1)        # chunks are word-aligned
@@ -336,10 +395,36 @@ def _decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAV missing fmt/data chunk")
     if n_channels < 1:
         raise ValueError("WAV declares zero channels")
-    samples = np.frombuffer(
-        data, dtype="<i2", count=(len(data) // (2 * n_channels)) * n_channels
-    ).reshape(-1, n_channels)
-    return samples, sample_rate
+    if fmt_code == 1 and bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2",
+            count=(len(data) // (2 * n_channels)) * n_channels,
+        ).reshape(-1, n_channels)
+        return samples, sample_rate
+    if fmt_code in (6, 7) and bits == 8:
+        from ocr_spark.functions.audio import g711_decode
+
+        law = "ulaw" if fmt_code == 7 else "alaw"
+        codes = np.frombuffer(
+            data, dtype=np.uint8,
+            count=(len(data) // n_channels) * n_channels,
+        )
+        return g711_decode(codes, law).reshape(-1, n_channels), sample_rate
+    if fmt_code == 0x11 and bits == 4:
+        from ocr_spark.functions.audio import ima_adpcm_decode_block
+
+        if block_align <= 4 * n_channels:
+            raise ValueError("ADPCM block_align too small for header")
+        chunks = [
+            ima_adpcm_decode_block(data[p : p + block_align], n_channels)
+            for p in range(0, len(data), block_align)
+        ]
+        return np.concatenate(chunks, axis=0), sample_rate
+    raise NotImplementedError(
+        f"unsupported WAV codec (fmt={fmt_code}, bits={bits}); "
+        "PCM16, G.711 ulaw/alaw, and IMA ADPCM are implemented — "
+        "perceptual codecs (mp3/ogg) need a codec library"
+    )
 
 
 def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
@@ -775,6 +860,126 @@ def decode_wavs_real(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows).astype("int64")
 
     return pruned.mapInPandas(gen, schema=AUDIO_DECODE_SCHEMA_DDL)
+
+
+G711_DECODE_SCHEMA_DDL = (
+    "doc_id bigint, fmt_code bigint, n_samples bigint, sample_rate bigint, "
+    "n_channels bigint, val_sum bigint, amp_sum bigint, amp_max bigint"
+)
+
+
+def _wav_fmt_code(b: bytes) -> int:
+    """Measured codec tag from the payload's own fmt chunk."""
+    pos = 12
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if tag == b"fmt ":
+            return int.from_bytes(b[pos + 8 : pos + 10], "little")
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("WAV missing fmt chunk")
+
+
+def synthesize_g711_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic G.711 WAV fixture per doc_id (even doc_id mu-law
+    fmt 7, odd A-law fmt 6; mono 8 kHz; n = 300 + doc_id % 50).  Every
+    sample value is an EXACT G.711 codeword — the decode-table image at
+    mantissa m = (13*doc_id + 7t) % 16, segment e = (5*doc_id + 3t) % 8,
+    sign (doc_id + t) % 2 — so companding round-trips losslessly and the
+    decoded stream has a closed-form SQL twin (ulaw value
+    ((8m+132)<<e)-132; alaw 16m+8 at e=0 else (16m+264)<<(e-1))."""
+    payloads = []
+    for doc_id in pdf["doc_id"]:
+        d = int(doc_id)
+        n = 300 + d % 50
+        t = np.arange(n, dtype=np.int64)
+        m = (13 * d + 7 * t) % 16
+        e = (5 * d + 3 * t) % 8
+        sgn = np.where((d + t) % 2 == 0, 1, -1)
+        if d % 2 == 0:
+            law = "ulaw"
+            val = ((m * 8 + 132) << e) - 132
+        else:
+            law = "alaw"
+            val = np.where(e == 0, m * 16 + 8,
+                           (m * 16 + 264) << np.maximum(e - 1, 0))
+        s = (sgn * val).astype(np.int16).reshape(-1, 1)
+        payloads.append(encode_wav_g711(s, 8000, law))
+    return pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                         "payload": payloads})
+
+
+def synthesize_adpcm_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic IMA-ADPCM WAV fixture per doc_id: ch = 1 +
+    doc_id % 2 channels, 1 + doc_id % 3 blocks of 65 samples at
+    11025 Hz.  Channel-c starts at ((29*doc_id + 41c) % 201) - 100 and
+    steps by a delta drawn from {-4,-3,-1,0,1,3,4} via
+    (13*doc_id + 7t + 31c) % 7 — exactly the magnitudes representable
+    at step-table index 0 (step=7: 0/1/3/4 plus sign), whose codes all
+    carry index delta -1 (clamped at 0), so the adaptive predictor
+    tracks the waveform EXACTLY and the decode has a closed-form SQL
+    twin (base + running delta sum)."""
+    payloads = []
+    deltas = np.array([-4, -3, -1, 0, 1, 3, 4], dtype=np.int64)
+    for doc_id in pdf["doc_id"]:
+        d = int(doc_id)
+        ch = 1 + d % 2
+        n = 65 * (1 + d % 3)
+        t = np.arange(n, dtype=np.int64)[:, None]
+        c = np.arange(ch, dtype=np.int64)[None, :]
+        dl = deltas[(13 * d + 7 * t + 31 * c) % 7]
+        dl[0, :] = 0                    # t=0 is the base sample
+        base = ((29 * d + 41 * c) % 201) - 100
+        s = (base + dl.cumsum(axis=0)).astype(np.int16)
+        payloads.append(encode_wav_adpcm(s, 11025, 65))
+    return pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                         "payload": payloads})
+
+
+def _decode_audio_batch(withp: pd.DataFrame) -> pd.DataFrame:
+    rows = {k: [] for k in ("doc_id", "fmt_code", "n_samples", "sample_rate",
+                            "n_channels", "val_sum", "amp_sum", "amp_max")}
+    for doc_id, payload in zip(withp["doc_id"], withp["payload"]):
+        samples, rate = _decode_wav(payload)
+        s64 = samples.astype(np.int64)
+        rows["doc_id"].append(int(doc_id))
+        rows["fmt_code"].append(_wav_fmt_code(payload))
+        rows["n_samples"].append(samples.shape[0])
+        rows["sample_rate"].append(rate)
+        rows["n_channels"].append(samples.shape[1])
+        rows["val_sum"].append(int(s64.sum()))
+        rows["amp_sum"].append(int(np.abs(s64).sum()))
+        rows["amp_max"].append(int(np.abs(s64).max()))
+    return pd.DataFrame(rows).astype("int64")
+
+
+def decode_g711_wavs_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL G.711 decode (mu-law + A-law WAV): synthesize
+    the companded payload per doc_id inside mapInPandas, decode through
+    the full RIFF walk + 256-entry expansion LUTs, emit measured
+    geometry + signed/absolute amplitude stats (val_sum catches sign
+    bugs the abs stats would mask)."""
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield _decode_audio_batch(synthesize_g711_payloads(pdf))
+
+    return pruned.mapInPandas(gen, schema=G711_DECODE_SCHEMA_DDL)
+
+
+def decode_adpcm_wavs_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL IMA-ADPCM decode: synthesize the block-coded
+    payload per doc_id inside mapInPandas, decode the sequential
+    adaptive predictor per independently-headered block, emit measured
+    geometry + amplitude stats."""
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield _decode_audio_batch(synthesize_adpcm_payloads(pdf))
+
+    return pruned.mapInPandas(gen, schema=G711_DECODE_SCHEMA_DDL)
 
 
 VIDEO_DECODE_SCHEMA_DDL = (
