@@ -8,6 +8,10 @@ from ocr_spark.streaming.extract_stream import (  # noqa: F401
 from ocr_spark.streaming.neardup import (  # noqa: F401
     run_minhash_neardup_stream,
 )
+from ocr_spark.streaming.sketch import (  # noqa: F401
+    hll_estimate,
+    run_hll_register_stream,
+)
 from ocr_spark.streaming.stateful import (  # noqa: F401
     run_conversation_assembly_stream,
 )

@@ -319,3 +319,112 @@ def test_stream_static_enrich_join(spark, dirs):
             assert r["route"] is not None
         else:
             assert r["route"] is None
+
+
+def _mk_docs(hours, n_per_hour=120):
+    """Corpus sized so per-lang distinct counts (~230) sit ABOVE the raw
+    HLL estimator's small-range floor (2.5m = 160 at m=64) — below it
+    the harmonic estimate reads ~0.7m regardless of n (the regime the
+    standard linear-counting correction exists for)."""
+    import datetime as dt
+
+    rows = []
+    langs = ["en", "fr", "de"]
+    k = 0
+    for h in hours:
+        for i in range(n_per_hour):
+            # letter-only words (the canonicalizer strips digits)
+            def wd(n):
+                return "w" + chr(97 + n % 26) + chr(97 + (n // 26) % 26) + "q"
+
+            text = " ".join(wd((7 * k + 11 * j) % 500) for j in range(8))
+            rows.append(
+                {
+                    "doc_id": k,
+                    "lang": langs[i % len(langs)],
+                    "text": text,
+                    "ts": dt.datetime(2024, 1, 1, h, (i * 7) % 60, 0),
+                }
+            )
+            k += 1
+    return pd.DataFrame(rows)
+
+
+def test_stream_hll_registers_parity_and_merge(spark, dirs):
+    """Streaming HLL (P29 twin): the watermark-closed window's register
+    table must equal the batch register table over the same rows
+    value-for-value; folding register rows (once, or unioned with a
+    replayed copy — max-merge idempotence) must give the batch
+    estimate."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.streaming.sketch import (
+        DOCS_STREAM_SCHEMA,
+        hll_estimate,
+        hll_register_columns,
+        run_hll_register_stream,
+    )
+
+    inp, outp, ckpt = dirs
+
+    def write_docs(pdf):
+        spark.createDataFrame(pdf, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def drain():
+        q = run_hll_register_stream(spark, inp, outp, ckpt, available_now=True)
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    docs0 = _mk_docs([0])
+    write_docs(docs0)
+    drain()
+    write_docs(_mk_docs([3]))           # advances watermark past hour-0
+    drain()
+
+    regs = spark.read.parquet(outp)
+    closed = regs.filter(F.hour("window_start") == 0)
+    # hour-3 window not closed yet
+    assert regs.filter(F.hour("window_start") == 3).count() == 0
+
+    # 1. register parity with batch over the same hour-0 rows
+    batch_regs = (
+        hll_register_columns(spark.createDataFrame(docs0, DOCS_STREAM_SCHEMA))
+        .groupBy("lang", "j")
+        .agg(F.max("m").alias("m"))
+    )
+    got = {(r.lang, r.j): r.m for r in closed.collect()}
+    want = {(r.lang, r.j): r.m for r in batch_regs.collect()}
+    assert got == want and len(want) > 0
+
+    # 2. estimate parity: stream-folded == batch-folded, and unioning a
+    # replayed copy of the register stream changes nothing (idempotent
+    # max-merge -> reprocessing-safe sink)
+    stream_reg_cols = closed.select("lang", "j", "m")
+    est_stream = {
+        r.lang: r.est_distinct for r in hll_estimate(stream_reg_cols).collect()
+    }
+    est_batch = {
+        r.lang: r.est_distinct
+        for r in hll_estimate(batch_regs.select("lang", "j", "m")).collect()
+    }
+    est_replayed = {
+        r.lang: r.est_distinct
+        for r in hll_estimate(
+            stream_reg_cols.unionByName(stream_reg_cols)
+        ).collect()
+    }
+    assert est_stream == est_batch == est_replayed
+    # estimates are in the right ballpark of the true distinct counts
+    truth = {
+        r.lang: r.n
+        for r in spark.createDataFrame(docs0, DOCS_STREAM_SCHEMA)
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .groupBy("lang")
+        .agg(F.countDistinct("w").alias("n"))
+        .collect()
+    }
+    for lang, est in est_stream.items():
+        assert 0.4 * truth[lang] <= est <= 2.5 * truth[lang], (lang, est, truth)
