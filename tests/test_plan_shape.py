@@ -196,7 +196,8 @@ def test_dedup_family_materializes_shared_tables(spark):
     N times (q_minhash_lsh measured 12 parquet scans / 0 ReusedExchange
     before this design)."""
     for q in (entry._q_minhash_lsh, entry._q_simhash_neardup,
-              entry._q_embedding_neardup):
+              entry._q_embedding_neardup, entry._q_jaccard_prefix_join):
         plan = _plan(q(spark, SF))
         assert plan.count("Scan parquet") == 0, plan
         assert "ExistingRDD" in plan, plan
+        assert "CartesianProduct" not in plan, plan
