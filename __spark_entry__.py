@@ -951,98 +951,18 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 # Prefix-filtering EXACT Jaccard join (the published scale path for
-# exact set-similarity joins — Chaudhuri/Bayardo/Xiao et al.'s prefix
-# filtering principle, here without positional refinements): order each
-# doc's shingles rarest-first under the global total order (df, token);
-# any partner with J >= tau must share a token inside the first
-# |d| - ceil(tau*|d|) + 1 tokens (for J >= tau, overlap o >= tau*|a|
-# AND o >= tau*|b|, so the pairwise prefix theorem applies with
-# alpha = ceil(tau*max(|a|,|b|)) and the per-doc lengths are >= the
-# required ones).  Candidates therefore come from an equi-join over
-# PREFIX tokens only — the hot common-shingle buckets that make the
-# all-pairs baseline quadratic-in-bucket are excluded unless a doc is
-# mostly stopword trigrams — then exact array-intersect verification.
-# LOSSLESS: the result set equals q_ngram_jaccard's exactly (same
-# oracle), unlike the probabilistic MinHash/SimHash paths.
+# exact set-similarity joins): core in ocr_spark/operators/setsim.py —
+# rarest-first prefixes exclude hot stopword shingles from the candidate
+# equi-join, then exact array-intersect verification.  LOSSLESS: the
+# result set equals q_ngram_jaccard's exactly (same oracle), unlike the
+# probabilistic MinHash/SimHash paths.  tools/skew_stress.py drives the
+# adversarial all-docs-share-a-stopword-core corpus through the same
+# operator and pins near-linearity.
 def _q_jaccard_prefix_join(spark, sf_dir):
-    alld = _docs_with_planted_dups(spark, sf_dir)
-    words = alld.select("doc_id", F.split("text", " ").alias("w"))
-    shingles = F.expr(
-        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)),"
-        " i -> concat_ws(' ', element_at(w, i),"
-        " element_at(w, i+1), element_at(w, i+2))))"
-    )
-    # shingle table feeds document frequencies, prefixes, AND the verify
-    # sets — materialized once (see PLANS.md materialize-once)
-    s = (
-        words.select("doc_id", F.explode(shingles).alias("sh_str"))
-        .select("doc_id", F.xxhash64("sh_str").alias("sh"))
-        .localCheckpoint(eager=False)
-    )
-    dfreq = s.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    n = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ranked = (
-        s.join(dfreq, "sh")
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "sh")
-            ),
-        )
-        .join(n, "doc_id")
-    )
-    prefix = ranked.filter(
-        F.col("rnk")
-        <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(0.5)).cast("long") + 1
-    ).select("doc_id", "sh")
-    cand = (
-        prefix.alias("pa")
-        .join(
-            prefix.alias("pb"),
-            (F.col("pa.sh") == F.col("pb.sh"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
-        )
-        .select(
-            F.col("pa.doc_id").alias("doc_a"),
-            F.col("pb.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    sets = s.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("sh")).alias("toks"),
-        F.count(F.lit(1)).alias("n_sh"),
-    )
-    shared = F.size(F.array_intersect("ta", "tb")).cast("double")
-    return (
-        cand.join(
-            sets.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("toks").alias("ta"),
-                F.col("n_sh").alias("n_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            sets.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("toks").alias("tb"),
-                F.col("n_sh").alias("n_b"),
-            ),
-            "doc_b",
-        )
-        .withColumn("shared", shared)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.floor(
-                F.col("shared")
-                * F.lit(1000000.0)
-                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-            )
-            .cast("long")
-            .alias("jaccard_fp"),
-        )
-        .filter(F.col("jaccard_fp") >= 500000)
+    from ocr_spark.operators.setsim import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _docs_with_planted_dups(spark, sf_dir), tau=0.5
     )
 
 
