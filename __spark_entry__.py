@@ -656,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": _q_doc_fingerprint,
         "q_dedup_clusters": _q_dedup_clusters,
         "q_countmin_sketch": _q_countmin_sketch,
+        "q_cm_heavy_hitters": _q_cm_heavy_hitters,
         "q_bloom_filter": _q_bloom_filter,
         "q_hll_distinct": _q_hll_distinct,
         # --- similarity search ----------------------------------------------
@@ -1242,6 +1243,70 @@ def _q_countmin_sketch(spark, sf_dir):
         .select("c.row_id", "c.col_id")
         .groupBy("row_id", "col_id")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+# Count-Min heavy hitters (P21b): the POINT-QUERY side of the sketch —
+# the piece that makes P21 useful.  est(w) = min over the 4 rows of the
+# cell the word hashes into (overestimate-only, the CM guarantee); a
+# word is a heavy hitter when est(w) >= phi*N (integer-compared as
+# est*1000 >= N*_CM_PHI_MILLE — no float threshold to diverge between
+# engines).  The words table is materialized ONCE (localCheckpoint) and
+# feeds the sketch build, the candidate vocabulary, AND the total-count
+# scalar; the 4x256-cell sketch and the 1-row total are BROADCAST
+# against the vocab-sized probe, so at 100 TB the cost is the one word
+# scan plus a vocab-sized aggregate — never a second corpus pass.
+# exact_cnt rides along to exhibit est_cnt >= exact_cnt row by row.
+_CM_PHI_MILLE = 5  # phi = 0.5% of all word occurrences
+
+
+def _q_cm_heavy_hitters(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    words = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ")
+            ).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .localCheckpoint(eager=False)
+    )
+    cell = lambda r: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), F.col("w"))), 1, 15),
+            16, 10,
+        ).cast("long") % F.lit(_CM_COLS)
+    )
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("long").alias("row_id"), cell(r).alias("col_id"))
+        for r in range(_CM_ROWS)
+    ])
+    sketch = (
+        words.select(F.explode(cells).alias("c"))
+        .select("c.row_id", "c.col_id")
+        .groupBy("row_id", "col_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    total = words.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    cand = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    probe = cand.select("w", "exact_cnt", F.explode(cells).alias("c")).select(
+        "w", "exact_cnt", "c.row_id", "c.col_id"
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["row_id", "col_id"])
+        .groupBy("w", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        est.join(F.broadcast(total))
+        .filter(
+            F.col("est_cnt") * F.lit(1000)
+            >= F.col("total") * F.lit(_CM_PHI_MILLE)
+        )
+        .select(F.col("w").alias("word"), "est_cnt", "exact_cnt")
     )
 
 
@@ -2780,6 +2845,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row_id::BIGINT AS row_id, col_id, count(*)::BIGINT AS cnt
             FROM hashed GROUP BY 1, 2
+        """,
+        "q_cm_heavy_hitters": f"""
+            WITH words AS (
+              SELECT w FROM (
+                SELECT unnest(string_split(trim(regexp_replace(
+                  lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                  ' +', ' ', 'g')), ' ')) AS w
+                FROM documents
+              ) WHERE length(w) > 0
+            ),
+            total AS (SELECT count(*)::BIGINT AS total FROM words),
+            sketch AS (
+              SELECT r AS row_id,
+                     ('0x' || substr(md5('cm' || r || ':' || w), 1, 15))::BIGINT
+                       % {_CM_COLS} AS col_id,
+                     count(*)::BIGINT AS cnt
+              FROM words, (SELECT unnest(range({_CM_ROWS})) AS r)
+              GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT w, count(*)::BIGINT AS exact_cnt FROM words GROUP BY 1
+            ),
+            probe AS (
+              SELECT c.w, c.exact_cnt, r AS row_id,
+                     ('0x' || substr(md5('cm' || r || ':' || c.w), 1, 15))::BIGINT
+                       % {_CM_COLS} AS col_id
+              FROM cand c, (SELECT unnest(range({_CM_ROWS})) AS r)
+            ),
+            est AS (
+              SELECT p.w, p.exact_cnt, min(s.cnt)::BIGINT AS est_cnt
+              FROM probe p JOIN sketch s USING (row_id, col_id)
+              GROUP BY 1, 2
+            )
+            SELECT w AS word, est_cnt, exact_cnt
+            FROM est, total
+            WHERE est_cnt * 1000 >= total * {_CM_PHI_MILLE}
         """,
         "q_bloom_filter": f"""
             WITH keys AS (

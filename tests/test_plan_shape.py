@@ -82,6 +82,18 @@ def test_countmin_single_scan(spark):
     assert "Union" not in plan, plan
 
 
+def test_cm_heavy_hitters_broadcasts_sketch(spark):
+    """The point-query side probes the vocab against the 4x256-cell
+    sketch and the 1-row total via BROADCAST (never shuffling the vocab
+    onto the sketch), and the words table is checkpointed once — the
+    visible plan reads the checkpoint, not the corpus three times."""
+    plan = _plan(entry._q_cm_heavy_hitters(spark, SF))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_ann_lsh_is_equi_join_not_cross(spark):
     """Bucket equi-joins must never degrade to cross products — the
     entire point of the LSH family at 100 TB."""
