@@ -646,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scrub_pii": _q_scrub_pii,
         "q_hash_sample": _q_hash_sample,
         "q_tfidf_top_terms": _q_tfidf_top_terms,
+        "q_inverted_index": _q_inverted_index,
+        "q_pmi_bigrams": _q_pmi_bigrams,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -882,6 +884,144 @@ def _q_tfidf_top_terms(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(win))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "w", "score_fp", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# Inverted index (P31): the search-side text structure — word ->
+# (document frequency, head of the sorted posting list).  The build is
+# a SALTED TWO-PHASE top-k: a window over the raw word key would give a
+# stopword (df ~ corpus size) a single window partition — one task
+# sorting the full posting list, the classic hot-key stall at 100 TB.
+# Instead each (word, doc_id % S) slice is ranked independently —
+# row_number + partial count inside one window pass, skew spread over S
+# tasks — the cap is applied BEFORE any collect_list (so per-group
+# collected state is bounded at `cap` ids), and a final merge per word
+# sums the partial counts into the exact df and re-sorts <= S*cap
+# surviving ids down to the true head.  The phase-1 groupBy reuses the
+# window's (w, salt) hash partitioning, so salting costs no extra
+# exchange.  Full posting lists would be sharded/paged by a real index;
+# the capped head is the deterministic, oracle-checkable core of that.
+# Postings are emitted as a comma-joined string so both engines compare
+# scalar values, not array encodings.
+_INDEX_POSTINGS_CAP = 32
+_INDEX_SALT = 64
+
+
+def _q_inverted_index(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    pairs = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ")
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    salted = pairs.withColumn(
+        "salt", (F.col("doc_id") % _INDEX_SALT).cast("int")
+    )
+    wslice = Window.partitionBy("w", "salt")
+    ranked = salted.select(
+        "w",
+        "salt",
+        "doc_id",
+        F.row_number().over(wslice.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wslice).cast("long").alias("c_slice"),
+    )
+    partial = (
+        ranked.filter(F.col("rn") <= _INDEX_POSTINGS_CAP)
+        .groupBy("w", "salt")
+        .agg(
+            F.max("c_slice").alias("c_slice"),
+            F.collect_list("doc_id").alias("head_slice"),
+        )
+    )
+    return (
+        partial.groupBy("w")
+        .agg(
+            F.sum("c_slice").cast("long").alias("df"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("head_slice"))),
+                1,
+                _INDEX_POSTINGS_CAP,
+            ).alias("head"),
+        )
+        .select(
+            F.col("w").alias("word"),
+            "df",
+            F.concat_ws(
+                ",", F.transform(F.col("head"), lambda x: x.cast("string"))
+            ).alias("postings_head"),
+        )
+    )
+
+
+# PMI collocations (P32): statistically-associated bigrams — the
+# phrase-mining primitive (new-term discovery, tokenizer-merge
+# candidates) over a training corpus.  PMI thresholds are ratios of
+# counts, so the gate is evaluated in PURE INTEGER cross-multiplied
+# form: c_ab * N >= K * c_a * c_b  <=>  PMI >= log K — no log() or
+# division to diverge between engines.  One corpus scan feeds the
+# unigram and bigram counts (the per-doc word array is built once);
+# the bigram->unigram count joins are vocab-sized shuffles, linear at
+# scale, and N is a 1-row broadcast.
+_PMI_LIFT_K = 50
+_PMI_MIN_COUNT = 5
+
+
+def _q_pmi_bigrams(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir).withColumn(
+        "text",
+        # planted collocations (the synthetic corpus draws words
+        # near-uniformly, so it has no natural ones): two rare phrases
+        # appended to deterministic doc slices, mirroring the planted
+        # near-dups the dedup family tests against
+        F.when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.col("text"), F.lit(" quantum entanglement")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(F.col("text"), F.lit(" neural lattice")),
+        )
+        .otherwise(F.col("text")),
+    )
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    docs = d.select(
+        F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ").alias("ws")
+    ).localCheckpoint(eager=False)
+    uni = (
+        docs.select(F.explode("ws").alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
+    )
+    bcnt = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    total = bcnt.agg(F.sum("c_ab").cast("long").alias("n"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    return (
+        bcnt.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .select(w1.alias("w1"), w2.alias("w2"), "c_ab")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .join(F.broadcast(total))
+        .filter(
+            F.col("c_ab") * F.col("n")
+            >= F.lit(_PMI_LIFT_K) * F.col("c_a") * F.col("c_b")
+        )
+        .select("w1", "w2", "c_ab", "c_a", "c_b")
     )
 
 
@@ -2827,6 +2967,59 @@ def oracle_sql() -> dict[str, str]:
                                                  tf.w ASC) AS rnk
               FROM tf JOIN df ON tf.w = df.w
             ) WHERE rnk <= 3
+        """,
+        "q_inverted_index": f"""
+            WITH pairs AS (
+              SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(
+                         lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                         ' +', ' ', 'g')), ' ')) AS w
+                FROM documents
+              ) WHERE length(w) > 0
+            )
+            SELECT w AS word, count(*)::BIGINT AS df,
+                   array_to_string(
+                     (list_sort(list(doc_id)))[1:{_INDEX_POSTINGS_CAP}],
+                     ',') AS postings_head
+            FROM pairs GROUP BY 1
+        """,
+        "q_pmi_bigrams": f"""
+            WITH planted AS (
+              SELECT CASE
+                       WHEN doc_id % 7 = 2 THEN text || ' quantum entanglement'
+                       WHEN doc_id % 11 = 3 THEN text || ' neural lattice'
+                       ELSE text
+                     END AS text
+              FROM documents
+            ),
+            docs AS (
+              SELECT string_split(trim(regexp_replace(
+                       lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                       ' +', ' ', 'g')), ' ') AS ws
+              FROM planted
+            ),
+            uni AS (
+              SELECT w, count(*)::BIGINT AS c FROM (
+                SELECT unnest(ws) AS w FROM docs
+              ) WHERE length(w) > 0 GROUP BY 1
+            ),
+            bcnt AS (
+              SELECT bg, count(*)::BIGINT AS c_ab FROM (
+                SELECT unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM docs
+              ) GROUP BY 1
+            ),
+            tot AS (SELECT sum(c_ab)::BIGINT AS n FROM bcnt)
+            SELECT split_part(bg, ' ', 1) AS w1,
+                   split_part(bg, ' ', 2) AS w2,
+                   c_ab, a.c AS c_a, b.c AS c_b
+            FROM bcnt, tot
+            JOIN uni a ON a.w = split_part(bg, ' ', 1)
+            JOIN uni b ON b.w = split_part(bg, ' ', 2)
+            WHERE c_ab >= {_PMI_MIN_COUNT}
+              AND c_ab * n >= {_PMI_LIFT_K} * a.c * b.c
         """,
         "q_countmin_sketch": f"""
             WITH words AS (

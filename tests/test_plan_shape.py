@@ -201,6 +201,19 @@ def test_hll_single_word_table(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_inverted_index_window_is_salted(spark):
+    """P31's ranking window must partition by (w, salt), never bare w —
+    a per-word window hands a stopword's entire posting list to ONE
+    task.  Pins the salt column in every Window node's partition spec
+    and the merge's bounded final aggregate."""
+    plan = _plan(entry._q_inverted_index(spark, SF))
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert window_lines, plan
+    for ln in window_lines:
+        assert "salt" in ln, "unsalted posting-list window: " + ln
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_dedup_family_materializes_shared_tables(spark):
     """The self-joined dedup/ANN queries materialize their shared
     derived tables (shingles/signatures/buckets) via localCheckpoint —
