@@ -428,6 +428,8 @@ def _sql_ivf_ranked(cents: list[list[float]]) -> str:
   ),
   ranked AS (
     SELECT e.vec_id, e.v, e.nrm, c.cid,
+           floor(list_dot_product(e.v, c.cv) /
+                 (e.nrm * c.cn) * 1000000.0)::BIGINT AS c_sim,
            row_number() OVER (
              PARTITION BY e.vec_id
              ORDER BY floor(list_dot_product(e.v, c.cv) /
@@ -648,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_top_terms": _q_tfidf_top_terms,
         "q_inverted_index": _q_inverted_index,
         "q_pmi_bigrams": _q_pmi_bigrams,
+        "q_para_dedup": _q_para_dedup,
+        "q_repetition_quality": _q_repetition_quality,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -669,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": _q_embedding_neardup,
         "q_embedding_ann_ivf": _q_embedding_ann_ivf,
         "q_embedding_ann_ivf_mp": _q_embedding_ann_ivf_mp,
+        "q_cluster_profile": _q_cluster_profile,
         # --- relational operator coverage (SURVEY §2.6/2.7/2.8) ------------
         "q_agg_orders": _q_agg_orders,
         "q_lineitem_pricing": _q_lineitem_pricing,
@@ -1022,6 +1027,132 @@ def _q_pmi_bigrams(spark, sf_dir):
             >= F.lit(_PMI_LIFT_K) * F.col("c_a") * F.col("c_b")
         )
         .select("w1", "w2", "c_ab", "c_a", "c_b")
+    )
+
+
+# Paragraph-level boilerplate dedup (P33): the CCNet-shaped pass that
+# removes paragraphs repeated across the corpus (cookie banners,
+# nav/footer text) while keeping the documents themselves.  The corpus
+# has no newlines, so "paragraphs" are deterministic 5-word chunks of
+# the canonical word stream, with boilerplate sentences PLANTED on
+# deterministic doc slices (the same pattern as the planted near-dups
+# and PMI collocations).  Scale shape: the chunk table is materialized
+# ONCE (agg side + join-back side — exchange reuse does not fire across
+# self-references, PLANS.md), the global paragraph-count aggregate is a
+# linear hash agg, and the join-back touches only the FILTERED hot set
+# (count >= K) — tiny by Zipf at any corpus size — via a BROADCAST left
+# join, never the full paragraph-count table.  Reassembly state is
+# bounded by single-document size (collect_list of a doc's own chunks).
+_PARA_WORDS = 5
+_PARA_BOILER_MIN = 20
+
+
+def _q_para_dedup(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("text"), F.lit(" subscribe to our newsletter today")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.col("text"), F.lit(" all rights reserved worldwide")),
+        )
+        .otherwise(F.col("text")),
+    )
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    ws = F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ")
+    chunks = F.expr(
+        f"transform(sequence(1, (size(ws) + {_PARA_WORDS - 1}) div {_PARA_WORDS}),"
+        f" i -> array_join(slice(ws, (i-1) * {_PARA_WORDS} + 1, {_PARA_WORDS}), ' '))"
+    )
+    paras = (
+        d.select("doc_id", ws.alias("ws"))
+        .select("doc_id", F.posexplode(chunks).alias("pos", "para"))
+        .localCheckpoint(eager=False)
+    )
+    boiler = (
+        paras.groupBy("para")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= _PARA_BOILER_MIN)
+        .withColumn("is_boiler", F.lit(1))
+    )
+    tagged = paras.join(
+        F.broadcast(boiler.select("para", "is_boiler")), "para", "left"
+    ).withColumn("is_boiler", F.coalesce(F.col("is_boiler"), F.lit(0)))
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("is_boiler") == 0,
+                F.struct(F.col("pos"), F.col("para")),
+            )
+        )
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum("is_boiler").cast("long").alias("n_boiler"),
+        F.array_join(
+            F.transform(kept, lambda s: s.getField("para")), " "
+        ).alias("clean_text"),
+    )
+
+
+# Repetition-quality flags (P34): the Gopher-style repetition gate a
+# training pipeline runs before anything expensive — documents whose
+# text is dominated by one word or by duplicated bigrams are machine
+# junk, not prose.  All ratios are emitted as INTEGER numerators /
+# denominators and the flag is an integer cross-multiplied gate
+# (top_cnt * 10 > n_words  OR  dup2 * 5 > n2  — i.e. top-word fraction
+# > 0.1 or duplicated-bigram fraction > 0.2): no division to diverge
+# between engines.  Scale shape: two hash aggs keyed by (doc_id, term)
+# — uniformly distributed, bounded per-group state — folded to per-doc
+# stats on the same doc_id partitioning, then one co-partitioned join.
+def _q_repetition_quality(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    docs = d.select(
+        "doc_id",
+        F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ").alias("ws"),
+    ).localCheckpoint(eager=False)
+    wstats = (
+        docs.select("doc_id", F.explode("ws").alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_cnt"),
+        )
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
+    )
+    bstats = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n2"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup2"),
+        )
+    )
+    return wstats.join(bstats, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "top_cnt",
+        "n2",
+        "dup2",
+        (
+            (F.col("top_cnt") * 10 > F.col("n_words"))
+            | (F.col("dup2") * 5 > F.col("n2"))
+        ).alias("repetitive"),
     )
 
 
@@ -2068,6 +2199,29 @@ def _q_embedding_ann_ivf_mp(spark, sf_dir):
     )
 
 
+# Embedding cluster profile (P35): the cluster-balance diagnostic a
+# semantic-dedup / curriculum pipeline reads before trusting an IVF or
+# SemDeDup partition — per-cell population, id range, and the summed
+# fixed-point cosine of members to their own centroid (tight cells sum
+# high; a junk cell catching unrelated vectors sums low).  Reuses the
+# ONE trained-quantizer definition (_ivf_ranked / _sql_ivf_ranked);
+# rn == 1 rows fold into per-cell aggregates — a hash agg on the cell
+# key, output rows = cells ~ sqrt(N), trivially linear at 100 TB.  Sums
+# stay integer (c_sim is already fixed-point) so engines cannot drift.
+def _q_cluster_profile(spark, sf_dir):
+    return (
+        _ivf_ranked(spark, sf_dir)
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+            F.sum("c_sim").cast("long").alias("sum_sim"),
+        )
+    )
+
+
 # TPC-H Q1 shape over the lineitem fact table: pushdown-friendly date
 # filter + hash aggregate.  Every measure is fixed-pointed PER ROW before
 # summation, so the aggregate is pure integer arithmetic — deterministic
@@ -3021,6 +3175,78 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_ab >= {_PMI_MIN_COUNT}
               AND c_ab * n >= {_PMI_LIFT_K} * a.c * b.c
         """,
+        "q_para_dedup": f"""
+            WITH planted AS (
+              SELECT doc_id, CASE
+                       WHEN doc_id % 4 = 1
+                         THEN text || ' subscribe to our newsletter today'
+                       WHEN doc_id % 6 = 3
+                         THEN text || ' all rights reserved worldwide'
+                       ELSE text
+                     END AS text
+              FROM documents
+            ),
+            docs AS (
+              SELECT doc_id, string_split(trim(regexp_replace(
+                       lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                       ' +', ' ', 'g')), ' ') AS ws
+              FROM planted
+            ),
+            paras AS (
+              SELECT doc_id,
+                     unnest(range(1, (len(ws) + {_PARA_WORDS - 1}) // {_PARA_WORDS} + 1)) AS pos,
+                     unnest(list_transform(
+                       range(1, (len(ws) + {_PARA_WORDS - 1}) // {_PARA_WORDS} + 1),
+                       i -> array_to_string(
+                         ws[((i-1) * {_PARA_WORDS} + 1):(i * {_PARA_WORDS})], ' ')
+                     )) AS para
+              FROM docs
+            ),
+            boiler AS (
+              SELECT para FROM paras GROUP BY para
+              HAVING count(*) >= {_PARA_BOILER_MIN}
+            )
+            SELECT p.doc_id, count(*)::BIGINT AS n_paras,
+                   sum(CASE WHEN b.para IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_boiler,
+                   coalesce(string_agg(CASE WHEN b.para IS NULL THEN p.para END,
+                                       ' ' ORDER BY p.pos), '') AS clean_text
+            FROM paras p LEFT JOIN boiler b ON p.para = b.para
+            GROUP BY 1
+        """,
+        "q_repetition_quality": """
+            WITH docs AS (
+              SELECT doc_id, string_split(trim(regexp_replace(
+                       lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                       ' +', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ),
+            wc AS (
+              SELECT doc_id, w, count(*) AS c FROM (
+                SELECT doc_id, unnest(ws) AS w FROM docs
+              ) WHERE length(w) > 0 GROUP BY 1, 2
+            ),
+            wstats AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_words,
+                     count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS top_cnt
+              FROM wc GROUP BY 1
+            ),
+            bc AS (
+              SELECT doc_id, bg, count(*) AS c FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM docs
+              ) GROUP BY 1, 2
+            ),
+            bstats AS (
+              SELECT doc_id, sum(c)::BIGINT AS n2,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup2
+              FROM bc GROUP BY 1
+            )
+            SELECT w.doc_id, n_words, n_distinct, top_cnt, n2, dup2,
+                   (top_cnt * 10 > n_words OR dup2 * 5 > n2) AS repetitive
+            FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+        """,
         "q_countmin_sketch": f"""
             WITH words AS (
               SELECT w FROM (
@@ -3427,6 +3653,14 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY sim_fp DESC, neighbor_id ASC) AS rnk
               FROM scored
             ) WHERE rnk <= 3
+        """,
+        "q_cluster_profile": f"""
+            WITH {_ivf_sql}
+            SELECT cid::BIGINT AS cell, count(*)::BIGINT AS n_vecs,
+                   min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+                   sum(c_sim)::BIGINT AS sum_sim
+            FROM ranked WHERE rn = 1
+            GROUP BY 1
         """,
         "q_embedding_topk": """
             WITH ed AS (
