@@ -652,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pmi_bigrams": _q_pmi_bigrams,
         "q_para_dedup": _q_para_dedup,
         "q_repetition_quality": _q_repetition_quality,
+        "q_decontaminate": _q_decontaminate,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -1153,6 +1154,78 @@ def _q_repetition_quality(spark, sf_dir):
             (F.col("top_cnt") * 10 > F.col("n_words"))
             | (F.col("dup2") * 5 > F.col("n2"))
         ).alias("repetitive"),
+    )
+
+
+# Benchmark decontamination (P36): the GPT-3-style eval-overlap scrub a
+# training pipeline runs before any model sees the corpus — documents
+# sharing any 13-gram with a held-out benchmark set are flagged.  The
+# "benchmark" is a deterministic doc slice (doc_id % 97 == 0) and
+# contamination is PLANTED by appending a benchmark doc's first-13-word
+# snippet to corpus docs on a second deterministic slice (doc_id % 13
+# == 5, snippet keyed by doc_id % 5), so non-trivial hits exist at
+# every sf and both engines build identical inputs.  Scale shape:
+# benchmark suites are TINY (MMLU-sized) next to a 100 TB corpus, so
+# the distinct benchmark-gram table broadcasts; the corpus side is one
+# linear scan emitting 16-hex md5 gram fingerprints (fixed-width join
+# keys, ~10x less shuffle/broadcast payload than raw 13-word strings)
+# probed map-side — no shuffle of corpus grams at all; explode_outer
+# keeps sub-13-word docs in the report with n_grams = 0.
+_DECON_GRAM = 13
+_DECON_BENCH_MOD = 97
+_DECON_PLANT_MOD = 13
+_DECON_PLANT_RES = 5
+
+
+def _q_decontaminate(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    w = d.select(
+        "doc_id",
+        F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ").alias("ws"),
+    )
+    grams = (
+        f"if(size(ws) >= {_DECON_GRAM},"
+        f" transform(sequence(1, size(ws) - {_DECON_GRAM - 1}),"
+        f" i -> substring(md5(array_join(slice(ws, i, {_DECON_GRAM}), ' ')),"
+        f" 1, 16)), array())"
+    )
+    bench = w.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    bench_grams = (
+        bench.select(F.explode(F.expr(grams)).alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    snip = bench.select(
+        F.floor(F.col("doc_id") / _DECON_BENCH_MOD).cast("long").alias("bk"),
+        F.slice("ws", 1, _DECON_GRAM).alias("snip"),
+    )
+    corpus = (
+        w.filter(F.col("doc_id") % _DECON_BENCH_MOD != 0)
+        .withColumn(
+            "bk",
+            F.when(
+                F.col("doc_id") % _DECON_PLANT_MOD == _DECON_PLANT_RES,
+                F.col("doc_id") % _DECON_PLANT_RES,
+            ),
+        )
+        .join(F.broadcast(snip), "bk", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("snip").isNotNull(), F.concat("ws", "snip")
+            ).otherwise(F.col("ws")).alias("ws"),
+        )
+    )
+    return (
+        corpus.select("doc_id", F.explode_outer(F.expr(grams)).alias("gh"))
+        .join(F.broadcast(bench_grams), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("gh").cast("long").alias("n_grams"),
+            F.count("hit").cast("long").alias("n_hits"),
+            (F.count("hit") > 0).alias("contaminated"),
+        )
     )
 
 
@@ -3246,6 +3319,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, n_words, n_distinct, top_cnt, n2, dup2,
                    (top_cnt * 10 > n_words OR dup2 * 5 > n2) AS repetitive
             FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+        """,
+        "q_decontaminate": f"""
+            WITH docs AS (
+              SELECT doc_id, string_split(trim(regexp_replace(
+                       lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                       ' +', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ),
+            bench AS (
+              SELECT doc_id, ws FROM docs
+              WHERE doc_id % {_DECON_BENCH_MOD} = 0
+            ),
+            bgrams AS (
+              SELECT DISTINCT substr(md5(g), 1, 16) AS gh FROM (
+                SELECT unnest(list_transform(
+                         range(1, greatest(len(ws) - {_DECON_GRAM - 1}, 0) + 1),
+                         i -> array_to_string(
+                           ws[i:i + {_DECON_GRAM - 1}], ' '))) AS g
+                FROM bench
+              )
+            ),
+            corpus AS (
+              SELECT c.doc_id,
+                     CASE WHEN s.snip IS NOT NULL
+                          THEN list_concat(c.ws, s.snip) ELSE c.ws END AS ws
+              FROM (
+                SELECT doc_id, ws,
+                       CASE WHEN doc_id % {_DECON_PLANT_MOD} = {_DECON_PLANT_RES}
+                            THEN doc_id % {_DECON_PLANT_RES} END AS bk
+                FROM docs WHERE doc_id % {_DECON_BENCH_MOD} <> 0
+              ) c
+              LEFT JOIN (
+                SELECT doc_id // {_DECON_BENCH_MOD} AS bk,
+                       ws[1:{_DECON_GRAM}] AS snip
+                FROM bench
+              ) s ON c.bk = s.bk
+            ),
+            cg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(ws) - {_DECON_GRAM - 1}, 0) + 1),
+                       i -> substr(md5(array_to_string(
+                         ws[i:i + {_DECON_GRAM - 1}], ' ')), 1, 16))) AS gh
+              FROM corpus
+            )
+            SELECT c.doc_id,
+                   count(cg.gh)::BIGINT AS n_grams,
+                   count(b.gh)::BIGINT AS n_hits,
+                   (count(b.gh) > 0) AS contaminated
+            FROM corpus c
+            LEFT JOIN cg ON c.doc_id = cg.doc_id
+            LEFT JOIN bgrams b ON cg.gh = b.gh
+            GROUP BY c.doc_id
         """,
         "q_countmin_sketch": f"""
             WITH words AS (
