@@ -653,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_para_dedup": _q_para_dedup,
         "q_repetition_quality": _q_repetition_quality,
         "q_decontaminate": _q_decontaminate,
+        "q_target_mix_sample": _q_target_mix_sample,
+        "q_fuzzy_join": _q_fuzzy_join,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -1154,6 +1156,115 @@ def _q_repetition_quality(spark, sf_dir):
             (F.col("top_cnt") * 10 > F.col("n_words"))
             | (F.col("dup2") * 5 > F.col("n2"))
         ).alias("repetitive"),
+    )
+
+
+# Fuzzy record-linkage join (P38): entity resolution by BLOCKING +
+# bounded edit-distance verify — the classic "dirty catalog" linkage
+# (Fellegi-Sunter / dedupe-style): a perturbed record side (2nd char
+# deleted on a deterministic key slice) is matched back to the clean
+# entity catalog by argmin levenshtein WITHIN a block, never globally.
+# Scale shape: the all-pairs O(N*M) levenshtein cross product is
+# replaced by an equi-join on the blocking key (last name token, which
+# the perturbation provably never touches), so candidates per record =
+# catalog entities per block (bounded); the entity catalog is the small
+# dimension side -> broadcast, zero shuffle of the record side beyond
+# the per-record argmin window (high-cardinality uniform partition
+# key).  If BOTH sides were corpus-sized the same plan becomes a
+# blocking-key shuffle join with the P31-style salt for hot blocks.
+# Ties break (dist, name) lexicographically so the argmin is
+# deterministic in both engines.
+def _q_fuzzy_join(spark, sf_dir):
+    p = _tbl(spark, sf_dir, "part").select("p_partkey", "p_name")
+    catalog = (
+        p.select(F.col("p_name").alias("cname"))
+        .distinct()
+        .withColumn("blk", F.element_at(F.split("cname", " "), -1))
+    )
+    dirty = p.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.substring("p_name", 1, 1), F.expr("substring(p_name, 3)")
+            ),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("dirty_name"),
+    ).withColumn("blk", F.element_at(F.split("dirty_name", " "), -1))
+    cand = dirty.join(F.broadcast(catalog), "blk").withColumn(
+        "dist", F.levenshtein("dirty_name", "cname")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("dist", "cname")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "dirty_name",
+            F.col("cname").alias("matched_name"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )
+
+
+# Target-mix resampling (P37): given a target language mix (ppm shares
+# summing to 1e6), water-fill the largest corpus that matches the mix
+# EXACTLY — T = min over langs of (N_l * 1e6 div target_l) — then derive
+# per-lang caps and deterministic md5-gate sampling rates, and apply
+# the gate in the same query.  This is the domain/language-mix step of
+# a training-data pipeline (e.g. "40% en, 15% each of de/es/fr/zh").
+# All arithmetic is integer (div, no FP rates to diverge).  Scale
+# shape: pass 1 is a lang-only count agg (column-pruned scan, ~free at
+# 100 TB); the 5-row rate table broadcasts back onto pass 2's linear
+# scan — per-row gate, no shuffle beyond the final per-lang agg.  The
+# md5 gate keeps ~cap_l rows deterministically; exact-cap selection
+# would need a per-lang rank (the salted two-phase top-k of P31 is the
+# scale recipe if exactness is required).
+_MIX_TARGET_PPM = {"en": 400000, "de": 150000, "es": 150000,
+                   "fr": 150000, "zh": 150000}
+
+
+def _mix_target_col():
+    c = F.lit(None)
+    for lang, ppm in _MIX_TARGET_PPM.items():
+        c = F.when(F.col("lang") == lang, F.lit(ppm)).otherwise(c)
+    return c.cast("long")
+
+
+def _q_target_mix_sample(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_avail"))
+        .withColumn("target_ppm", _mix_target_col())
+        .filter(F.col("target_ppm").isNotNull())
+    )
+    tmax = counts.select(
+        F.min(F.expr("n_avail * 1000000 div target_ppm")).alias("t_max")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tmax))
+        .withColumn("cap", F.expr("t_max * target_ppm div 1000000"))
+        .withColumn(
+            "rate_ppm",
+            F.expr("least(cap * 1000000 div n_avail, 1000000)"),
+        )
+        .select("lang", "n_avail", "cap", "rate_ppm")
+    )
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % F.lit(1000000)
+    )
+    kept = bkt < F.col("rate_ppm")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_avail", "cap", "rate_ppm")
+        .agg(
+            F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("doc_id"))), F.lit(0))
+            .cast("long").alias("kept_id_sum"),
+        )
     )
 
 
@@ -3319,6 +3430,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, n_words, n_distinct, top_cnt, n2, dup2,
                    (top_cnt * 10 > n_words OR dup2 * 5 > n2) AS repetitive
             FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+        """,
+        "q_fuzzy_join": """
+            WITH dirty AS (
+              SELECT p_partkey,
+                     CASE WHEN p_partkey % 3 = 0
+                          THEN substr(p_name, 1, 1) || substr(p_name, 3)
+                          ELSE p_name END AS dirty_name
+              FROM part
+            ),
+            catalog AS (SELECT DISTINCT p_name AS cname FROM part),
+            cand AS (
+              SELECT d.p_partkey, d.dirty_name, c.cname,
+                     levenshtein(d.dirty_name, c.cname) AS dist
+              FROM dirty d JOIN catalog c
+                ON string_split(d.dirty_name, ' ')[-1]
+                 = string_split(c.cname, ' ')[-1]
+            )
+            SELECT p_partkey, dirty_name, cname AS matched_name,
+                   dist::BIGINT AS dist
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY p_partkey ORDER BY dist, cname) AS rn
+              FROM cand
+            ) WHERE rn = 1
+        """,
+        "q_target_mix_sample": f"""
+            WITH counts AS (
+              SELECT lang, count(*)::BIGINT AS n_avail
+              FROM documents GROUP BY 1
+            ),
+            tgt AS (
+              SELECT lang, n_avail,
+                     CASE lang
+                       {' '.join(f"WHEN '{lang}' THEN {ppm}::BIGINT"
+                                 for lang, ppm in _MIX_TARGET_PPM.items())}
+                     END AS target_ppm
+              FROM counts
+              WHERE lang IN ({','.join(repr(k) for k in _MIX_TARGET_PPM)})
+            ),
+            tmax AS (
+              SELECT min(n_avail * 1000000 // target_ppm) AS t_max FROM tgt
+            ),
+            rates AS (
+              SELECT lang, n_avail,
+                     (t_max * target_ppm // 1000000) AS cap,
+                     least((t_max * target_ppm // 1000000) * 1000000
+                           // n_avail, 1000000) AS rate_ppm
+              FROM tgt, tmax
+            )
+            SELECT d.lang, r.n_avail, r.cap, r.rate_ppm,
+                   count(CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+                                   % 1000000 < r.rate_ppm THEN 1 END)::BIGINT
+                     AS n_kept,
+                   coalesce(sum(CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+                                          % 1000000 < r.rate_ppm
+                                     THEN d.doc_id END), 0)::BIGINT
+                     AS kept_id_sum
+            FROM documents d JOIN rates r USING (lang)
+            GROUP BY 1, 2, 3, 4
         """,
         "q_decontaminate": f"""
             WITH docs AS (
