@@ -655,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_target_mix_sample": _q_target_mix_sample,
         "q_fuzzy_join": _q_fuzzy_join,
+        "q_pagerank": _q_pagerank,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -1157,6 +1158,65 @@ def _q_repetition_quality(spark, sf_dir):
             | (F.col("dup2") * 5 > F.col("n2"))
         ).alias("repetitive"),
     )
+
+
+# Fixed-iteration PageRank (P39): power iteration over a deterministic
+# synthetic link graph (each doc links to (id*id+1) mod N and id div 2
+# — uniform out-degree 2; the quadratic map is non-invertible mod
+# composite N and the halving map funnels toward low ids, so in-degree
+# is genuinely skewed.  A LINEAR map like (3*id+1) mod N is a bijection
+# for gcd(3,N)=1 and collapses every rank to exactly 1.0 — the first
+# cut did that), 3 unrolled rounds of
+# r' = 0.15 + 0.85 * sum(in-contribs), all in 1e6 fixed point with
+# integer division (r div 2 per out-edge, *85 div 100 damping) so both
+# engines agree bit-exactly.  N comes from the parquet footer (Iceberg
+# snapshot stats at production) — no count() job.  Scale shape: the
+# Pregel loop — edge table partitioned by src ONCE and reused each
+# round (localCheckpoint pins it; only the rank table re-shuffles), one
+# src-join + one dst-agg exchange per round, nodes with no in-links
+# retained by a left anti-free left join + coalesce(0).  3 rounds is
+# the fixed-budget flavor (rank-stability deltas, not convergence
+# tests, decide rounds at 100 TB — same argument as the pointer-
+# doubling cap in P19).
+_PR_ITERS = 3
+
+
+def _q_pagerank(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    edges = (
+        nodes.select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("id") * F.col("id") + 1) % F.lit(n),
+                    F.expr("id div 2"),
+                )
+            ).alias("dst"),
+        )
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes.select("id", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .select("dst", F.expr("r div 2").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.id == contrib.dst, "left"
+        ).select(
+            "id",
+            (
+                F.lit(150000)
+                + F.expr("(85 * coalesce(s, 0)) div 100")
+            ).cast("long").alias("r"),
+        )
+    return ranks.select("id", F.col("r").alias("rank"))
 
 
 # Fuzzy record-linkage join (P38): entity resolution by BLOCKING +
@@ -3430,6 +3490,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, n_words, n_distinct, top_cnt, n2, dup2,
                    (top_cnt * 10 > n_words OR dup2 * 5 > n2) AS repetitive
             FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+        """,
+        "q_pagerank": """
+            WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            nodes AS (SELECT doc_id AS id FROM documents),
+            edges AS (
+              SELECT id AS src, (id * id + 1) % nn.n AS dst FROM nodes, nn
+              UNION ALL
+              SELECT id, id // 2 FROM nodes, nn
+            ),
+            r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
+            c1 AS (SELECT e.dst, sum(r.r // 2) AS s FROM edges e
+                   JOIN r0 r ON e.src = r.id GROUP BY 1),
+            r1 AS (SELECT nodes.id,
+                          (150000 + (85 * coalesce(c1.s, 0)) // 100)::BIGINT AS r
+                   FROM nodes LEFT JOIN c1 ON nodes.id = c1.dst),
+            c2 AS (SELECT e.dst, sum(r.r // 2) AS s FROM edges e
+                   JOIN r1 r ON e.src = r.id GROUP BY 1),
+            r2 AS (SELECT nodes.id,
+                          (150000 + (85 * coalesce(c2.s, 0)) // 100)::BIGINT AS r
+                   FROM nodes LEFT JOIN c2 ON nodes.id = c2.dst),
+            c3 AS (SELECT e.dst, sum(r.r // 2) AS s FROM edges e
+                   JOIN r2 r ON e.src = r.id GROUP BY 1)
+            SELECT nodes.id,
+                   (150000 + (85 * coalesce(c3.s, 0)) // 100)::BIGINT AS rank
+            FROM nodes LEFT JOIN c3 ON nodes.id = c3.dst
         """,
         "q_fuzzy_join": """
             WITH dirty AS (
