@@ -656,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_target_mix_sample": _q_target_mix_sample,
         "q_fuzzy_join": _q_fuzzy_join,
         "q_pagerank": _q_pagerank,
+        "q_span_dedup": _q_span_dedup,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -1157,6 +1158,111 @@ def _q_repetition_quality(spark, sf_dir):
             (F.col("top_cnt") * 10 > F.col("n_words"))
             | (F.col("dup2") * 5 > F.col("n2"))
         ).alias("repetitive"),
+    )
+
+
+# Exact-substring span dedup (P40): the "Deduplicating Training Data
+# Makes Language Models Better" pass — find 20-word spans repeated
+# across DISTINCT documents (a planted 25-word license paragraph,
+# prepended on one deterministic doc slice and appended on another, so
+# both interval positions occur), merge each doc's flagged overlapping
+# spans into intervals (gaps-and-islands: same-length spans merge when
+# start deltas <= span length), and report per-doc removed/kept word
+# counts.  Scale shape: the positional 20-gram stream is ONE linear
+# scan emitting (xxhash64, doc_id, pos); the repeated-gram set is a
+# spans repeated across DISTINCT documents (countDistinct(doc_id) >= 2
+# over fixed-width 16-hex md5 gram fingerprints — the engine-portable
+# key of P36) whose survivors are Zipf-small at any corpus size ->
+# BROADCAST back onto the gram stream (the para-dedup P33 argument);
+# island detection is a per-doc window
+# over only the FLAGGED positions (bounded by doc length).  The word
+# table is materialized once across the gram and count sides.
+_SPAN_GRAM = 20
+_SPAN_LICENSE = (
+    "this work is licensed under the creative commons attribution share"
+    " alike license and may be redistributed with attribution provided"
+    " this notice is preserved intact"
+)
+
+
+def _q_span_dedup(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 2,
+            F.concat(F.lit(_SPAN_LICENSE + " "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 9 == 4,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_LICENSE)),
+        )
+        .otherwise(F.col("text")),
+    )
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    words = d.select(
+        "doc_id",
+        F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ").alias("ws"),
+    ).localCheckpoint(eager=False)
+    grams = (
+        f"if(size(ws) >= {_SPAN_GRAM},"
+        f" transform(sequence(1, size(ws) - {_SPAN_GRAM - 1}),"
+        f" i -> substring(md5(array_join(slice(ws, i, {_SPAN_GRAM}), ' ')),"
+        f" 1, 16)), array())"
+    )
+    g = words.select(
+        "doc_id", F.posexplode(F.expr(grams)).alias("pos0", "gh")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    repeated = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    flagged = g.join(F.broadcast(repeated), "gh")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        flagged.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") - F.col("prev") > _SPAN_GRAM),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.count(F.lit(1)).alias("n_flagged"),
+            (F.max("pos") - F.min("pos") + _SPAN_GRAM).alias("ivl_words"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_flagged").cast("long").alias("n_flagged"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("ivl_words").cast("long").alias("removed_words"),
+        )
+    )
+    return (
+        words.select("doc_id", F.size("ws").cast("long").alias("n_words"))
+        .join(isl, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+            F.coalesce("n_intervals", F.lit(0)).cast("long")
+            .alias("n_intervals"),
+            F.coalesce("removed_words", F.lit(0)).cast("long")
+            .alias("removed_words"),
+            (
+                F.col("n_words") - F.coalesce("removed_words", F.lit(0))
+            ).cast("long").alias("kept_words"),
+        )
     )
 
 
@@ -3490,6 +3596,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, n_words, n_distinct, top_cnt, n2, dup2,
                    (top_cnt * 10 > n_words OR dup2 * 5 > n2) AS repetitive
             FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+        """,
+        "q_span_dedup": f"""
+            WITH planted AS (
+              SELECT doc_id, CASE
+                       WHEN doc_id % 9 = 2
+                         THEN '{_SPAN_LICENSE} ' || text
+                       WHEN doc_id % 9 = 4
+                         THEN text || ' {_SPAN_LICENSE}'
+                       ELSE text
+                     END AS text
+              FROM documents
+            ),
+            words AS (
+              SELECT doc_id, string_split(trim(regexp_replace(
+                       lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                       ' +', ' ', 'g')), ' ') AS ws
+              FROM planted
+            ),
+            g AS (
+              SELECT doc_id, pos, substr(md5(gram), 1, 16) AS gh FROM (
+                SELECT doc_id,
+                       unnest(range(1, greatest(len(ws) - {_SPAN_GRAM - 1}, 0) + 1)) AS pos,
+                       unnest(list_transform(
+                         range(1, greatest(len(ws) - {_SPAN_GRAM - 1}, 0) + 1),
+                         i -> array_to_string(ws[i:i + {_SPAN_GRAM - 1}], ' '))) AS gram
+                FROM words
+              )
+            ),
+            repeated AS (
+              SELECT gh FROM g GROUP BY gh
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            flagged AS (
+              SELECT g.doc_id, g.pos FROM g JOIN repeated r ON g.gh = r.gh
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL
+                                OR pos - prev > {_SPAN_GRAM} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS isl
+              FROM (
+                SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM flagged
+              )
+            ),
+            per_isl AS (
+              SELECT doc_id, isl, count(*) AS n_flagged,
+                     max(pos) - min(pos) + {_SPAN_GRAM} AS ivl_words
+              FROM isl GROUP BY 1, 2
+            ),
+            per_doc AS (
+              SELECT doc_id, sum(n_flagged)::BIGINT AS n_flagged,
+                     count(*)::BIGINT AS n_intervals,
+                     sum(ivl_words)::BIGINT AS removed_words
+              FROM per_isl GROUP BY 1
+            )
+            SELECT w.doc_id, len(w.ws)::BIGINT AS n_words,
+                   coalesce(p.n_flagged, 0)::BIGINT AS n_flagged,
+                   coalesce(p.n_intervals, 0)::BIGINT AS n_intervals,
+                   coalesce(p.removed_words, 0)::BIGINT AS removed_words,
+                   (len(w.ws) - coalesce(p.removed_words, 0))::BIGINT
+                     AS kept_words
+            FROM words w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
         """,
         "q_pagerank": """
             WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
