@@ -226,3 +226,52 @@ def test_dedup_family_materializes_shared_tables(spark):
         assert plan.count("Scan parquet") == 0, plan
         assert "ExistingRDD" in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """P36: the benchmark-gram set and the plant-snippet table are the
+    tiny sides — both joins must broadcast so corpus grams are probed
+    map-side and never shuffled."""
+    plan = _plan(entry._q_decontaminate(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_target_mix_broadcasts_rate_table(spark):
+    """P37: the 5-row per-lang rate table broadcasts onto the gated
+    scan; the count pass prunes to the lang column."""
+    plan = _plan(entry._q_target_mix_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, plan
+    rs = _read_schema_lines(plan)
+    assert rs and any("text" not in ln for ln in rs), (
+        "count pass must not read the wide text column: " + plan
+    )
+
+
+def test_fuzzy_join_broadcasts_catalog_no_cross(spark):
+    """P38: blocking turns the all-pairs levenshtein cross product into
+    a broadcast equi-join on the blocking key."""
+    plan = _plan(entry._q_fuzzy_join(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_span_dedup_broadcasts_repeated_set(spark):
+    """P40: the repeated-gram survivors (Zipf-small) broadcast back
+    onto the positional gram stream; the word table is materialized
+    once (checkpoint), not re-derived per side."""
+    plan = _plan(entry._q_span_dedup(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_no_cross_products(spark):
+    """P39: three unrolled Pregel rounds stay equi-join + hash-agg —
+    a cross product anywhere means the rank/edge join key was lost."""
+    plan = _plan(entry._q_pagerank(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "ExistingRDD" in plan, plan
