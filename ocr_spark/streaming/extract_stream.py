@@ -185,3 +185,92 @@ def run_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DECON_GRAM_WORDS = 13
+
+
+def bench_gram_fingerprints(texts: list[str], gram: int = DECON_GRAM_WORDS) -> list[str]:
+    """Fixed-width 16-hex md5 fingerprints of every `gram`-word shingle
+    of the given benchmark texts, under the SAME canonicalization the
+    stream side applies (lowercase, letters-only, collapsed whitespace).
+    Pure Python on purpose: the benchmark suite is driver-resident and
+    tiny (MMLU-sized), and the list is injected into the streaming plan
+    as a literal — the streaming analogue of a broadcast variable."""
+    import hashlib
+    import re
+
+    out: set[str] = set()
+    for t in texts:
+        ws = re.sub(r" +", " ", re.sub(r"[^A-Za-z ]", " ", t.lower())).strip()
+        words = ws.split(" ") if ws else []
+        for i in range(len(words) - gram + 1):
+            key = " ".join(words[i : i + gram])
+            out.add(hashlib.md5(key.encode()).hexdigest()[:16])
+    return sorted(out)
+
+
+def run_decontam_stream(
+    spark: SparkSession,
+    input_path: str,
+    bench_grams: list[str],
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    gram: int = DECON_GRAM_WORDS,
+) -> StreamingQuery:
+    """Streaming benchmark decontamination (P36's continuous twin): flag
+    turns sharing any `gram`-word shingle with a held-out benchmark set
+    WHILE the corpus is being ingested, so contaminated documents never
+    reach the training sink at all.
+
+    The benchmark fingerprint set is injected as an ARRAY LITERAL (see
+    bench_gram_fingerprints) rather than joined: benchmark suites are
+    tiny and static, so this is a pure stateless per-row map — no
+    stream-static join to re-plan, no watermark, no state store; state
+    per row is O(|bench| + turn length), and exactly-once comes from the
+    file sink's transaction log, same as run_extract_stream.  n_hits
+    counts DISTINCT matching shingles (array_intersect semantics — the
+    batch P36 counts occurrences; a turn is contaminated under either
+    definition iff n_hits > 0, which is the gate that matters).
+    """
+    import pyspark.sql.functions as F
+
+    turns = stream_transcripts(spark, input_path, max_files_per_trigger)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    ws = F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ")
+    grams = F.expr(
+        f"if(size(ws) >= {gram},"
+        f" transform(sequence(1, size(ws) - {gram - 1}),"
+        f" i -> substring(md5(array_join(slice(ws, i, {gram}), ' ')), 1, 16)),"
+        f" array())"
+    )
+    # empty-set cast keeps array_intersect type-resolved when the
+    # benchmark list is empty (array() alone is array<void>)
+    bench = (
+        F.array(*[F.lit(g) for g in bench_grams])
+        if bench_grams
+        else F.array().cast("array<string>")
+    )
+    flagged = (
+        turns.withColumn("ws", ws)
+        .withColumn("g", grams)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts",
+            F.size("g").cast("long").alias("n_grams"),
+            F.size(F.array_intersect("g", bench)).cast("long").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+    writer = (
+        flagged.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

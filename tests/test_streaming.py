@@ -428,3 +428,52 @@ def test_stream_hll_registers_parity_and_merge(spark, dirs):
     }
     for lang, est in est_stream.items():
         assert 0.4 * truth[lang] <= est <= 2.5 * truth[lang], (lang, est, truth)
+
+
+def test_decontam_stream_flags_planted_turns(spark, dirs):
+    """Streaming decontamination (P36 twin): turns carrying a benchmark
+    13-gram are flagged in-flight; clean and sub-13-word turns pass
+    through unflagged; fingerprints match the pure-Python builder."""
+    from ocr_spark.streaming.extract_stream import (
+        bench_gram_fingerprints,
+        run_decontam_stream,
+    )
+
+    inp, outp, ckpt = dirs
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog while seven wizards"
+        " quietly brew potions beneath the ancient oak tree tonight"
+    )
+    bench = bench_gram_fingerprints([bench_text])
+    assert len(bench) == len(set(bench)) and len(bench) > 1
+
+    pdf = gen_transcripts(n_convs=12)
+    # plant the first 13 benchmark words into a deterministic turn slice
+    snippet = " ".join(bench_text.split()[:13])
+    planted = set(pdf.index[pdf.index % 5 == 2])
+    pdf.loc[list(planted), "text"] = (
+        pdf.loc[list(planted), "text"].fillna("") + " " + snippet
+    )
+    _write_batch(spark, pdf, inp)
+
+    q = run_decontam_stream(spark, inp, bench, outp, ckpt, available_now=True)
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = spark.read.parquet(outp).toPandas()
+    assert len(got) == len(pdf)
+    flagged = got[got.contaminated]
+    # every planted turn with a non-null original text is flagged …
+    key = got.set_index(["conv_id", "turn_idx"])
+    src = pdf.set_index(["conv_id", "turn_idx"])
+    planted_keys = set(
+        src.iloc[[i for i in range(len(src)) if i % 5 == 2]].index
+    )
+    for k in planted_keys:
+        assert key.loc[k, "contaminated"], k
+        assert key.loc[k, "n_hits"] >= 1
+    # … and nothing else is
+    for k, row in key.iterrows():
+        if k not in planted_keys:
+            assert not row["contaminated"], k
+    assert (got.n_grams >= got.n_hits).all()
