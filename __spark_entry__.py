@@ -657,6 +657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_join": _q_fuzzy_join,
         "q_pagerank": _q_pagerank,
         "q_span_dedup": _q_span_dedup,
+        "q_markov_transitions": _q_markov_transitions,
+        "q_triangle_count": _q_triangle_count,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -1158,6 +1160,120 @@ def _q_repetition_quality(spark, sf_dir):
             (F.col("top_cnt") * 10 > F.col("n_words"))
             | (F.col("dup2") * 5 > F.col("n2"))
         ).alias("repetitive"),
+    )
+
+
+# Triangle count (P43): the classic heavy-join graph statistic, done
+# the way it survives skew — DEGREE-ORDERED ORIENTATION.  Each
+# undirected edge is directed from its (degree, id)-smaller endpoint
+# to the larger, which bounds every node's out-degree by O(sqrt(E))
+# regardless of hubs; wedges enumerate as the self-join of the
+# oriented edge list on the source, and a wedge closes iff the
+# orientation-order edge (v, w) exists.  Without orientation, a hub
+# with d neighbors yields d^2/2 wedges from that node alone — the plan
+# that dies first at 10^12 edges.  The graph is a deterministic
+# 3-circulant (u ~ u+1, u+2, u+3 mod N — every vertex closes known
+# triangle families) plus planted HUB edges (u ~ 0 for u % 10 == 3)
+# that add degree skew but no triangles, exactly the adversarial shape
+# orientation exists for.  The oriented list is materialized once
+# (checkpoint) and reused by the wedge AND closing sides.
+def _q_triangle_count(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    raw = nodes.select(
+        "id",
+        F.explode(
+            F.array(
+                (F.col("id") + 1) % F.lit(n),
+                (F.col("id") + 2) % F.lit(n),
+                (F.col("id") + 3) % F.lit(n),
+                F.when(F.col("id") % 10 == 3, F.lit(0)).otherwise(
+                    F.col("id")
+                ),
+            )
+        ).alias("peer"),
+    ).filter(F.col("id") != F.col("peer"))
+    edges = (
+        raw.select(
+            F.least("id", "peer").alias("a"),
+            F.greatest("id", "peer").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    oriented = (
+        edges.join(da, "a").join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    l = oriented.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("dd").alias("dv")
+    )
+    r = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("dd").alias("dw")
+    )
+    wedges = l.join(r, "src").filter(
+        F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("dw"), F.col("w"))
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.col("src").alias("v"), F.col("dst").alias("w")
+        ),
+        ["v", "w"],
+        "left_semi",
+    )
+    return (
+        edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(
+            wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+        )
+        .crossJoin(
+            closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        )
+    )
+
+
+# Markov transition matrix (P42): per-user next-event transition
+# counts and probabilities — the behavioral-sequence statistic behind
+# session modeling and next-action prediction.  One window (lead over
+# the per-user (ts, event_id) order — same high-cardinality uniform
+# partitioning as sessionize/funnel) and one global hash agg on the
+# (from, to) pair (bounded by |event_type|^2 — tiny); probabilities in
+# integer ppm via a window total per from-state, no FP division.
+def _q_markov_transitions(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("to_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.sum("n_trans").over(wf).cast("long").alias("n_from"),
+        F.expr("n_trans * 1000000 div sum(n_trans) over (partition by from_type)")
+        .cast("long").alias("prob_ppm"),
     )
 
 
@@ -3596,6 +3712,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, n_words, n_distinct, top_cnt, n2, dup2,
                    (top_cnt * 10 > n_words OR dup2 * 5 > n2) AS repetitive
             FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+        """,
+        "q_triangle_count": """
+            WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            nodes AS (SELECT doc_id AS id FROM documents),
+            raw AS (
+              SELECT id, (id + 1) % nn.n AS peer FROM nodes, nn
+              UNION ALL SELECT id, (id + 2) % nn.n FROM nodes, nn
+              UNION ALL SELECT id, (id + 3) % nn.n FROM nodes, nn
+              UNION ALL SELECT id,
+                         CASE WHEN id % 10 = 3 THEN 0 ELSE id END
+              FROM nodes
+            ),
+            edges AS (
+              SELECT DISTINCT least(id, peer) AS a, greatest(id, peer) AS b
+              FROM raw WHERE id <> peer
+            ),
+            deg AS (
+              SELECT v, count(*)::BIGINT AS d FROM (
+                SELECT a AS v FROM edges UNION ALL SELECT b FROM edges
+              ) GROUP BY 1
+            ),
+            oriented AS (
+              SELECT CASE WHEN (da.d, e.a) < (db.d, e.b)
+                          THEN e.a ELSE e.b END AS src,
+                     CASE WHEN (da.d, e.a) < (db.d, e.b)
+                          THEN e.b ELSE e.a END AS dst,
+                     CASE WHEN (da.d, e.a) < (db.d, e.b)
+                          THEN db.d ELSE da.d END AS dd
+              FROM edges e
+              JOIN deg da ON e.a = da.v
+              JOIN deg db ON e.b = db.v
+            ),
+            wedges AS (
+              SELECT l.src, l.dst AS v, l.dd AS dv, r.dst AS w, r.dd AS dw
+              FROM oriented l JOIN oriented r ON l.src = r.src
+              WHERE (l.dd, l.dst) < (r.dd, r.dst)
+            ),
+            closed AS (
+              SELECT wg.src FROM wedges wg
+              WHERE EXISTS (SELECT 1 FROM oriented o
+                            WHERE o.src = wg.v AND o.dst = wg.w)
+            )
+            SELECT (SELECT count(*)::BIGINT FROM edges) AS n_edges,
+                   (SELECT count(*)::BIGINT FROM wedges) AS n_wedges,
+                   (SELECT count(*)::BIGINT FROM closed) AS n_triangles
+        """,
+        "q_markov_transitions": """
+            WITH pairs AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+              FROM events
+            ),
+            t AS (
+              SELECT from_type, to_type, count(*)::BIGINT AS n_trans
+              FROM pairs WHERE to_type IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n_trans,
+                   sum(n_trans) OVER (PARTITION BY from_type)::BIGINT AS n_from,
+                   (n_trans * 1000000 //
+                    sum(n_trans) OVER (PARTITION BY from_type))::BIGINT
+                     AS prob_ppm
+            FROM t
         """,
         "q_span_dedup": f"""
             WITH planted AS (
