@@ -7,9 +7,13 @@ jobs/extract.py.
       [--drain] [--max-files-per-trigger N]
 
 Modes map to the streaming operators in ocr_spark/streaming/:
-  extract  stateless extraction (exactly-once via checkpoint + file sink)
-  dedup    exact dedup with watermark-bounded state
-  rate     watermarked event-time turn-rate windows
+  extract   stateless extraction (exactly-once via checkpoint + file sink)
+  dedup     exact dedup with watermark-bounded state
+  rate      watermarked event-time turn-rate windows
+  decontam  stateless benchmark decontamination (requires --bench-file, a
+            UTF-8 text file whose lines are the held-out benchmark texts;
+            13-gram fingerprints are built on the driver and injected as
+            an array literal)
 
 `--drain` runs with availableNow=True (process the backlog, then exit —
 backfills and tests); without it the query tails the input forever.
@@ -29,8 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--mode", choices=("extract", "dedup", "rate"),
+    p.add_argument("--mode", choices=("extract", "dedup", "rate", "decontam"),
                    default="extract")
+    p.add_argument("--bench-file", default=None,
+                   help="decontam mode: file of benchmark texts, one per line")
     p.add_argument("--drain", action="store_true")
     def _positive_int(v: str) -> int:
         n = int(v)
@@ -44,10 +50,15 @@ def main(argv: list[str] | None = None) -> int:
 
     from ocr_spark.plans.session import build_session
     from ocr_spark.streaming import (
+        bench_gram_fingerprints,
+        run_decontam_stream,
         run_dedup_stream,
         run_extract_stream,
         run_turn_rate_stream,
     )
+
+    if args.mode == "decontam" and not args.bench_file:
+        p.error("--mode decontam requires --bench-file")
 
     spark = build_session(app_name=f"ocr_spark_stream_{args.mode}",
                           master=args.master)
@@ -63,6 +74,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "extract":
         q = run_extract_stream(
             spark, args.input, out, ckpt,
+            available_now=args.drain,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+    elif args.mode == "decontam":
+        with open(args.bench_file, encoding="utf-8") as fh:
+            texts = [ln.strip() for ln in fh if ln.strip()]
+        q = run_decontam_stream(
+            spark, args.input, bench_gram_fingerprints(texts), out, ckpt,
             available_now=args.drain,
             max_files_per_trigger=args.max_files_per_trigger,
         )

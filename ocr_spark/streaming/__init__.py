@@ -1,4 +1,6 @@
 from ocr_spark.streaming.extract_stream import (  # noqa: F401
+    bench_gram_fingerprints,
+    run_decontam_stream,
     run_dedup_stream,
     run_enrich_stream,
     run_extract_stream,

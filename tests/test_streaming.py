@@ -477,3 +477,41 @@ def test_decontam_stream_flags_planted_turns(spark, dirs):
         if k not in planted_keys:
             assert not row["contaminated"], k
     assert (got.n_grams >= got.n_hits).all()
+
+
+def test_stream_job_cli_decontam_drive(spark, dirs, tmp_path):
+    """spark-submit surface for the decontam mode: benchmark texts come
+    from --bench-file, output is namespaced under decontam/."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp, outp, ckpt = dirs
+    bench_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        " lambda mu nu xi omicron"
+    )
+    bf = tmp_path / "bench.txt"
+    bf.write_text(bench_text + "\n")
+
+    pdf = gen_transcripts(n_convs=8)
+    snippet = " ".join(bench_text.split()[:13])
+    idx = [i for i in range(len(pdf)) if i % 7 == 3]
+    pdf.loc[pdf.index[idx], "text"] = (
+        pdf.loc[pdf.index[idx], "text"].fillna("") + " " + snippet
+    )
+    _write_batch(spark, pdf, inp)
+
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "stream.py"),
+         "--input", inp, "--output", outp, "--checkpoint", ckpt,
+         "--mode", "decontam", "--bench-file", str(bf),
+         "--drain", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    got = spark.read.parquet(os.path.join(outp, "decontam")).toPandas()
+    assert len(got) == len(pdf)
+    assert got.contaminated.sum() == len(idx)
+    assert (got[got.contaminated].n_hits >= 1).all()
