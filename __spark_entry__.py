@@ -407,20 +407,23 @@ def _fmt_dvec(row: list[float]) -> str:
     return "[" + ", ".join(one(x) for x in row) + "]"
 
 
-def _sql_ivf_ranked(cents: list[list[float]]) -> str:
-    """DuckDB twin of _ivf_ranked (shared by both IVF oracles — the
+_SQL_EMB_SRC = "(SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings)"
+
+
+def _sql_ivf_ranked(cents: list[list[float]], src: str = _SQL_EMB_SRC) -> str:
+    """DuckDB twin of _ivf_ranked (shared by the IVF oracles — the
     quantizer definition lives here and in _ivf_ranked only).  `cents`
     are the Python-trained k-means centroids (_ivf_centroids), injected
     as exact DOUBLE[] literals so both engines rank against the
-    identical quantizer."""
+    identical quantizer.  `src` is any (vec_id, v: DOUBLE[]) relation —
+    the default is the raw embeddings table; q_semdedup passes its
+    planted-twin corpus."""
     rows = ", ".join(
         f"({i}, {_fmt_dvec(cv)}::DOUBLE[])" for i, cv in enumerate(cents)
     )
     return f"""
   ed AS (
-    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (
-      SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
-    )
+    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM {src}
   ),
   cents AS (
     SELECT col0 AS cid, col1 AS cv, sqrt(list_dot_product(col1, col1)) AS cn
@@ -654,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_quality": _q_repetition_quality,
         "q_decontaminate": _q_decontaminate,
         "q_target_mix_sample": _q_target_mix_sample,
+        "q_importance_resample": _q_importance_resample,
         "q_fuzzy_join": _q_fuzzy_join,
         "q_pagerank": _q_pagerank,
         "q_span_dedup": _q_span_dedup,
@@ -668,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_neardup": _q_simhash_neardup,
         "q_doc_fingerprint": _q_doc_fingerprint,
         "q_dedup_clusters": _q_dedup_clusters,
+        "q_cluster_keeper": _q_cluster_keeper,
         "q_countmin_sketch": _q_countmin_sketch,
         "q_cm_heavy_hitters": _q_cm_heavy_hitters,
         "q_bloom_filter": _q_bloom_filter,
@@ -681,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_ann_ivf": _q_embedding_ann_ivf,
         "q_embedding_ann_ivf_mp": _q_embedding_ann_ivf_mp,
         "q_cluster_profile": _q_cluster_profile,
+        "q_semdedup": _q_semdedup,
         # --- relational operator coverage (SURVEY §2.6/2.7/2.8) ------------
         "q_agg_orders": _q_agg_orders,
         "q_lineitem_pricing": _q_lineitem_pricing,
@@ -1550,6 +1556,92 @@ def _q_target_mix_sample(spark, sf_dir):
     )
 
 
+# Importance resampling (P46): the DSIR-shaped data-selection pass
+# (Xie et al. 2023, arXiv:2302.03169) — score every document by how
+# much its hashed-unigram distribution looks like a TARGET reference
+# corpus relative to the raw corpus, then keep documents with
+# probability proportional to the (capped) importance weight.  Target =
+# the English slice (`lang = 'en'`): the classic "resample raw toward a
+# high-quality reference" setup.  All arithmetic is INTEGER: per-bucket
+# add-1-smoothed probabilities in ppb, their ratio in ppm, per-doc
+# score = sum of per-word ratios, and the keep decision gates the doc's
+# md5 bucket against the per-word average ratio — deterministic across
+# engines, runs, and cluster sizes.  Scale shape: the bucket-stats
+# table is _DSIR_BUCKETS rows (broadcast), the word table is scanned
+# once for stats and once for scoring (materialized in between), the
+# doc aggregate is a hash agg on doc_id — everything linear at 100 TB.
+_DSIR_BUCKETS = 256
+
+
+def _q_importance_resample(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\r\n]+", " "))
+    w = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        F.split(canon, " ").alias("ws"),
+    )
+    bkt = (
+        F.conv(F.substring(F.md5("wd"), 1, 15), 16, 10).cast("long")
+        % F.lit(_DSIR_BUCKETS)
+    )
+    # (doc_id, is_t, b) materialized ONCE — the stats aggregate and the
+    # scoring join both read it; without the checkpoint the split+md5
+    # subtree runs twice (no exchange reuse across the two references)
+    wb = (
+        w.select("doc_id", "is_t", F.explode("ws").alias("wd"))
+        .filter(F.col("wd") != "")
+        .select("doc_id", "is_t", bkt.alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    stats = wb.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("r_cnt"),
+        F.count(F.when(F.col("is_t"), 1)).cast("long").alias("t_cnt"),
+    )
+    tot = stats.select(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    # ppb-scaled smoothed probabilities, ratio in ppm — two-step integer
+    # division keeps every intermediate under int64 even at corpus sizes
+    # where (t_cnt * r_tot) alone would overflow
+    rat = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"((t_cnt + 1) * 1000000000 div (t_tot + {_DSIR_BUCKETS}))"
+            f" * 1000000 div greatest("
+            f"(r_cnt + 1) * 1000000000 div (r_tot + {_DSIR_BUCKETS}), 1)"
+        ).alias("ratio_ppm"),
+    )
+    perdoc = (
+        wb.join(F.broadcast(rat), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("ratio_ppm").cast("long").alias("score_fp"),
+        )
+    )
+    doc_bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % F.lit(1000000)
+    )
+    return (
+        d.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("score_fp", F.lit(0)).alias("score_fp"),
+        )
+        .withColumn(
+            "avg_ppm",
+            F.expr(
+                "case when n_words > 0 then score_fp div n_words else 0 end"
+            ),
+        )
+        .withColumn("kept", doc_bkt < F.least(F.col("avg_ppm"), F.lit(1000000)))
+    )
+
+
 # Benchmark decontamination (P36): the GPT-3-style eval-overlap scrub a
 # training pipeline runs before any model sees the corpus — documents
 # sharing any 13-gram with a held-out benchmark set are flagged.  The
@@ -1938,6 +2030,68 @@ def _q_dedup_clusters(spark, sf_dir):
     labels, _rounds = connected_components(pairs, a="doc_a", b="doc_b")
     _CLUSTER_LABEL_CACHE.append(labels)
     return labels.select("doc_id", F.col("lab").alias("component_id"))
+
+
+# Quality-aware cluster keeper (P45): the FineWeb-style refinement of
+# min-id dedup — within each near-dup cluster (connected components
+# over the MinHash+LSH pair graph, same pipeline as q_dedup_clusters)
+# keep the HIGHEST-QUALITY member instead of the lowest id, so dedup
+# removes the boilerplate-heavy variants and keeps the best copy.
+# Quality is the q_quality_score formula (bounded length + stopword
+# ratio, fixed-pointed) recomputed over the planted corpus; ties break
+# to the lowest doc_id.  Scale shape: the component-label table is tiny
+# next to the corpus (only docs that collided in LSH), so it BROADCASTS
+# onto the quality scan — the keeper selection is one window over
+# component groups whose total size is the duplicate set, not the
+# corpus.
+def _q_cluster_keeper(spark, sf_dir):
+    from ocr_spark.operators.graph import connected_components
+
+    pairs = _q_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _rounds = connected_components(pairs, a="doc_a", b="doc_b")
+    lab = labels.select("doc_id", F.col("lab").alias("component_id"))
+    alld = _docs_with_planted_dups(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    canon = F.trim(F.regexp_replace(lower, r"[ \t\r\n]+", " "))
+    q = alld.select(
+        "doc_id",
+        F.when(F.length(canon) == 0, F.lit(0))
+        .otherwise(F.size(F.split(canon, " ")))
+        .cast("double")
+        .alias("_w"),
+        F.size(
+            F.regexp_extract_all(lower, F.lit(rf"\b({_STOPWORDS})\b"), F.lit(0))
+        )
+        .cast("double")
+        .alias("_s"),
+    )
+    score = (
+        F.least(F.col("_w"), F.lit(100.0)) / F.lit(100.0) * F.lit(0.5)
+        + F.when(F.col("_w") > 0, F.col("_s") / F.col("_w"))
+        .otherwise(F.lit(0.0)) * F.lit(0.5)
+    )
+    mem = q.select(
+        "doc_id", F.floor(score * F.lit(10000.0)).cast("long").alias("quality_fp")
+    ).join(F.broadcast(lab), "doc_id")
+    rk = F.row_number().over(
+        Window.partitionBy("component_id").orderBy(
+            F.col("quality_fp").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        mem.withColumn("rk", rk)
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_id"),
+            F.min(F.when(F.col("rk") == 1, F.col("quality_fp"))).alias(
+                "keep_quality_fp"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("rk") > 1, F.col("doc_id"))), F.lit(0)
+            ).cast("long").alias("dropped_id_sum"),
+        )
+    )
 
 
 # Count-Min sketch of the corpus word-frequency distribution: 4 hash
@@ -2555,7 +2709,14 @@ def _ivf_ranked_plan(spark, sf_dir):
     Un-checkpointed plan — tests assert the broadcast-assignment shape
     here; queries use _ivf_ranked below."""
     e = _tbl(spark, sf_dir, "embeddings")
-    ed = _ed_with_norm(e)
+    return _ivf_assign(spark, sf_dir, _ed_with_norm(e))
+
+
+def _ivf_assign(spark, sf_dir, ed: DataFrame) -> DataFrame:
+    """Quantizer assignment over ANY (vec_id, v, nrm) relation: every
+    vector ranked against the broadcast trained centroids.  Split out of
+    _ivf_ranked_plan so q_semdedup can assign its planted-twin corpus
+    with the same one quantizer definition."""
     cents = spark.createDataFrame(
         [(i, cv) for i, cv in enumerate(_ivf_centroids(sf_dir))],
         "cid int, cv array<double>",
@@ -2684,6 +2845,100 @@ def _q_cluster_profile(spark, sf_dir):
             F.min("vec_id").alias("min_vec"),
             F.max("vec_id").alias("max_vec"),
             F.sum("c_sim").cast("long").alias("sum_sim"),
+        )
+    )
+
+
+# SemDeDup (P44): semantic deduplication inside trained k-means cells —
+# the published embedding-dedup scale path (Abbas et al. 2023,
+# arXiv:2303.09540).  Pairwise cosine is computed only WITHIN a cell
+# (√N cells -> ~N^1.5 total pair work instead of N^2), members are
+# ordered by similarity to their own centroid ASCENDING (the paper
+# keeps the example farthest from the centroid in each duplicate
+# group), and a vector is dropped iff some earlier-ordered cell-mate is
+# within the cosine threshold — the upper-triangle one-pass rule of the
+# reference implementation, no iteration.  Semantic duplicates are
+# PLANTED (vec_id < 20 re-emitted as vec_id + 1000000 with dimension 1
+# zeroed — same direction up to one axis, cosine ~0.99) so non-trivial
+# drops exist at every sf; the corpus' organic within-cell cosines top
+# out near 0.6 (measured), so the 0.9 threshold separates cleanly.
+# Reuses the ONE trained-quantizer definition (_ivf_assign /
+# _sql_ivf_ranked) — a twin lands in its original's cell unless the
+# zeroed axis flips the assignment, which is the documented IVF
+# partition-miss SemDeDup inherits.  Scale shape: broadcast centroids,
+# cell equi-join for pairs, everything else linear.
+_SEMDEDUP_TAU = 900000   # fixed-point cosine drop threshold (0.90)
+_SEMDEDUP_PLANT = 20     # vec_id < PLANT gets a planted near-twin
+
+
+def _q_semdedup(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # ONE table scan: original + conditional planted twin via explode
+    # (same pattern as _q_embedding_neardup / _docs_with_planted_dups)
+    rows = F.array(
+        F.struct(F.col("vec_id").alias("vec_id"), F.col("v").alias("v")),
+        F.when(
+            F.col("vec_id") < _SEMDEDUP_PLANT,
+            F.struct(
+                (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+                F.transform(
+                    "v",
+                    lambda x, i: F.when(i == 0, F.lit(0.0)).otherwise(x),
+                ).alias("v"),
+            ),
+        ),
+    )
+    alle = (
+        ed.select(F.explode(rows).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select("r.vec_id", "r.v")
+    )
+    nrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    alle = alle.select("vec_id", "v", nrm.alias("nrm"))
+    # materialized once: referenced by both sides of the within-cell
+    # pair join AND the final left join (no exchange reuse across
+    # self-join aliases)
+    ranked = (
+        _ivf_assign(spark, sf_dir, alle)
+        .filter(F.col("rn") == 1)
+        .withColumn(
+            "ord",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(
+                    F.col("c_sim").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .select("vec_id", "v", "nrm", "cid", "c_sim", "ord")
+        .localCheckpoint(eager=False)
+    )
+    a = ranked.select(
+        "cid", F.col("ord").alias("ord_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = ranked.select(
+        "cid", "vec_id", F.col("ord").alias("ord_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("ord_a") < F.col("ord_b"))
+        .filter(_ivf_sim("va", "vb", "na", "nb") >= _SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        ranked.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cell"),
+            "c_sim",
+            F.col("_d").isNotNull().alias("dropped"),
         )
     )
 
@@ -3477,6 +3732,7 @@ def oracle_sql() -> dict[str, str]:
     nb = _lsh_bits(_n_emb)
     nbm = _lsh_mt_bits(_n_emb)
     _ivf_sql = _sql_ivf_ranked(_ivf_centroids(_oracle_sf_dir()))
+    _ivf_sql_alle = _sql_ivf_ranked(_ivf_centroids(_oracle_sf_dir()), src="alle")
     sql = {
         "x_extract_documents": _expected_sql("x_extract_documents"),
         "x_extract_transcripts": _expected_sql("x_extract_transcripts"),
@@ -3926,6 +4182,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates r USING (lang)
             GROUP BY 1, 2, 3, 4
         """,
+        "q_importance_resample": f"""
+            WITH w AS (
+              SELECT doc_id, (lang = 'en') AS is_t,
+                     string_split(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')), ' ') AS ws
+              FROM documents
+            ),
+            wb AS (
+              SELECT doc_id, is_t,
+                     ('0x' || substr(md5(wd), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS b
+              FROM (SELECT doc_id, is_t, unnest(ws) AS wd FROM w)
+              WHERE wd != ''
+            ),
+            stats AS (
+              SELECT b, count(*)::BIGINT AS r_cnt,
+                     count(CASE WHEN is_t THEN 1 END)::BIGINT AS t_cnt
+              FROM wb GROUP BY 1
+            ),
+            tot AS (
+              SELECT sum(r_cnt)::BIGINT AS r_tot, sum(t_cnt)::BIGINT AS t_tot
+              FROM stats
+            ),
+            rat AS (
+              SELECT b,
+                     ((t_cnt + 1) * 1000000000 // (t_tot + {_DSIR_BUCKETS}))
+                       * 1000000 // greatest(
+                         (r_cnt + 1) * 1000000000 // (r_tot + {_DSIR_BUCKETS}), 1)
+                       AS ratio_ppm
+              FROM stats CROSS JOIN tot
+            ),
+            perdoc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words,
+                     sum(ratio_ppm)::BIGINT AS score_fp
+              FROM wb JOIN rat USING (b) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_words, 0)::BIGINT AS n_words,
+                   coalesce(p.score_fp, 0)::BIGINT AS score_fp,
+                   CASE WHEN coalesce(p.n_words, 0) > 0
+                        THEN p.score_fp // p.n_words ELSE 0 END::BIGINT AS avg_ppm,
+                   ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+                     < least(CASE WHEN coalesce(p.n_words, 0) > 0
+                                  THEN p.score_fp // p.n_words ELSE 0 END,
+                             1000000) AS kept
+            FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        """,
         "q_decontaminate": f"""
             WITH docs AS (
               SELECT doc_id, string_split(trim(regexp_replace(
@@ -4163,6 +4464,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(lab) AS component_id
             FROM reach GROUP BY doc_id
         """,
+        "q_cluster_keeper": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT doc_a, doc_b FROM ({_SQL_MINHASH_LSH}) mh
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+            reach(doc_id, lab) AS (
+              SELECT doc_id, doc_id FROM nodes
+              UNION
+              SELECT e.src, r.lab
+              FROM reach r JOIN edges e ON e.dst = r.doc_id
+            ),
+            labels AS (
+              SELECT doc_id, min(lab) AS component_id
+              FROM reach GROUP BY doc_id
+            ),
+            {_SQL_ALLD},
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) = 0
+                          THEN 0
+                          ELSE len(string_split(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')), ' '))
+                     END::DOUBLE AS words,
+                     len(regexp_extract_all(lower(text), '\\b({_STOPWORDS})\\b'))::DOUBLE AS stop_hits
+              FROM alld
+            ),
+            qual AS (
+              SELECT doc_id,
+                     floor((least(words, 100.0) / 100.0 * 0.5 +
+                            CASE WHEN words > 0 THEN stop_hits / words ELSE 0.0 END * 0.5) * 10000.0)::BIGINT AS quality_fp
+              FROM t
+            ),
+            rk AS (
+              SELECT l.component_id, l.doc_id, q.quality_fp,
+                     row_number() OVER (PARTITION BY l.component_id
+                                        ORDER BY q.quality_fp DESC, l.doc_id ASC) AS rk
+              FROM labels l JOIN qual q USING (doc_id)
+            )
+            SELECT component_id,
+                   count(*)::BIGINT AS n_members,
+                   min(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+                   min(CASE WHEN rk = 1 THEN quality_fp END) AS keep_quality_fp,
+                   coalesce(sum(CASE WHEN rk > 1 THEN doc_id END), 0)::BIGINT AS dropped_id_sum
+            FROM rk GROUP BY 1
+        """,
         "q_simhash": f"""
             WITH {_SQL_SHINGLE_FPS64},
             bits AS (
@@ -4393,6 +4743,36 @@ def oracle_sql() -> dict[str, str]:
                    sum(c_sim)::BIGINT AS sum_sim
             FROM ranked WHERE rn = 1
             GROUP BY 1
+        """,
+        "q_semdedup": f"""
+            WITH base AS (
+              SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings
+            ),
+            alle AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id,
+                     [CASE WHEN i = 0 THEN 0.0 ELSE v[i + 1] END
+                      for i in range(len(v))] AS v
+              FROM base WHERE vec_id < {_SEMDEDUP_PLANT}
+            ),
+            {_ivf_sql_alle},
+            ordr AS (
+              SELECT vec_id, v, nrm, cid, c_sim,
+                     row_number() OVER (PARTITION BY cid
+                                        ORDER BY c_sim ASC, vec_id ASC) AS ord
+              FROM ranked WHERE rn = 1
+            ),
+            drops AS (
+              SELECT DISTINCT b.vec_id
+              FROM ordr a JOIN ordr b
+                ON a.cid = b.cid AND a.ord < b.ord
+              WHERE floor(list_dot_product(a.v, b.v) /
+                          (a.nrm * b.nrm) * 1000000.0)::BIGINT >= {_SEMDEDUP_TAU}
+            )
+            SELECT o.vec_id, o.cid::BIGINT AS cell, o.c_sim,
+                   (d.vec_id IS NOT NULL) AS dropped
+            FROM ordr o LEFT JOIN drops d ON d.vec_id = o.vec_id
         """,
         "q_embedding_topk": """
             WITH ed AS (

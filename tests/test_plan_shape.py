@@ -269,6 +269,35 @@ def test_span_dedup_broadcasts_repeated_set(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_semdedup_cell_equijoin_not_cross(spark):
+    """P44: the within-cell pair search is an equi-join on the cell id,
+    never a cross product, and both pair sides + the final left join
+    read the ONE checkpointed assigned/ordered table (quantizer
+    assignment runs once, not three times)."""
+    plan = _plan(entry._q_semdedup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_cluster_keeper_broadcasts_labels(spark):
+    """P45: the component-label table (duplicate docs only — tiny next
+    to the corpus) must BROADCAST onto the quality scan."""
+    plan = _plan(entry._q_cluster_keeper(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_importance_resample_broadcasts_stats(spark):
+    """P46: the 256-row bucket-ratio table broadcasts onto the scoring
+    pass, and the word table is materialized once (checkpoint) for the
+    stats aggregate AND the scoring join."""
+    plan = _plan(entry._q_importance_resample(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+
+
 def test_pagerank_no_cross_products(spark):
     """P39: three unrolled Pregel rounds stay equi-join + hash-agg —
     a cross product anywhere means the rank/edge join key was lost."""
