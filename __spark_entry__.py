@@ -658,6 +658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_target_mix_sample": _q_target_mix_sample,
         "q_importance_resample": _q_importance_resample,
+        "q_gopher_rules": _q_gopher_rules,
+        "q_chunk_windows": _q_chunk_windows,
+        "q_pack_sequences": _q_pack_sequences,
         "q_fuzzy_join": _q_fuzzy_join,
         "q_pagerank": _q_pagerank,
         "q_span_dedup": _q_span_dedup,
@@ -1639,6 +1642,186 @@ def _q_importance_resample(spark, sf_dir):
             ),
         )
         .withColumn("kept", doc_bkt < F.least(F.col("avg_ppm"), F.lit(1000000)))
+    )
+
+
+# Gopher quality rules (P47): the MassiveText repetition-free heuristic
+# filter set (Rae et al. 2021, arXiv:2112.11446 Appendix A) — word-count
+# bounds, mean-word-length bounds, symbol-to-word ratio, bullet-line and
+# ellipsis-line fractions, alphabetic-word fraction, and the required-
+# stopword presence test.  Every predicate is INTEGER arithmetic
+# (symbols*10 < words encodes ratio < 0.1) so no division can diverge
+# between engines.  Failure cases are PLANTED on deterministic doc
+# slices (a 3-bullet tail that stays under the 90% line rule, a
+# MOSTLY-bullet slice that trips it, ellipsis lines, a '#' run) because
+# the synthetic corpus is single-line prose that would otherwise pass
+# everything.  The required-stopword set is CORPUS-ADAPTED: Gopher's
+# English function-word set ('be','that','have',...) does not occur in
+# this synthetic database-jargon corpus and would fail 92% of docs —
+# the rule's intent is "prose contains the corpus' common function
+# words", so the set is the corpus' own highest-document-frequency
+# words plus its two real function words.  Scale shape: one linear
+# scan, pure JVM codegen expressions, no UDF, no shuffle before the
+# (tiny) output projection.
+_GOPHER_STOPS = "('the','a','data','table','query','row','value','column')"
+
+
+def _q_gopher_rules(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    page = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 11 == 2,
+            F.lit("\n* item one\n* item two\n* item three"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 4,
+            F.lit("\nto be continued...\nand more..."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 6,
+            F.concat(F.lit(" "), F.lit("#" * 40)),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 23 == 9,
+            F.lit("".join(f"\n* bullet {i}" for i in range(10))),
+        ).otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", page.alias("page"))
+    canon = F.trim(F.regexp_replace(F.lower(F.col("page")), r"[ \t\r\n]+", " "))
+    d = d.select(
+        "doc_id",
+        "page",
+        F.when(F.length(canon) == 0, F.expr("array()"))
+        .otherwise(F.split(canon, " "))
+        .alias("ws"),
+        F.split("page", "\n").alias("lines"),
+    )
+    d = d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.expr("aggregate(ws, 0L, (a, w) -> a + length(w))").alias("tot_chars"),
+        F.expr("size(filter(ws, w -> w rlike '[a-z]'))").cast("long")
+        .alias("alpha_words"),
+        F.expr(
+            f"size(array_intersect(array_distinct(ws), array{_GOPHER_STOPS}))"
+        ).cast("long").alias("n_req_stops"),
+        (
+            F.length("page") - F.length(F.regexp_replace("page", r"#", ""))
+            + F.floor(
+                (F.length("page")
+                 - F.length(F.expr("replace(page, '...', '')"))) / F.lit(3)
+            )
+        ).cast("long").alias("n_symbols"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr("size(filter(lines, l -> startswith(ltrim(l), '* ')))")
+        .cast("long").alias("bullet_lines"),
+        F.expr("size(filter(lines, l -> endswith(rtrim(l), '...')))")
+        .cast("long").alias("ellipsis_lines"),
+    )
+    pass_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    pass_mwl = (F.col("tot_chars") >= 3 * F.col("n_words")) & (
+        F.col("tot_chars") <= 10 * F.col("n_words")
+    ) & (F.col("n_words") > 0)
+    pass_sym = F.col("n_symbols") * 10 < F.col("n_words")
+    pass_bul = F.col("bullet_lines") * 10 < F.col("n_lines") * 9
+    pass_ell = F.col("ellipsis_lines") * 10 < F.col("n_lines") * 3
+    pass_alpha = F.col("alpha_words") * 10 >= F.col("n_words") * 8
+    pass_stop = F.col("n_req_stops") >= 2
+    return d.select(
+        "doc_id", "n_words", "tot_chars", "n_symbols",
+        "bullet_lines", "ellipsis_lines",
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_wlen"),
+        pass_sym.alias("pass_symbol_ratio"),
+        pass_bul.alias("pass_bullet"),
+        pass_ell.alias("pass_ellipsis"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stop.alias("pass_stopwords"),
+        (
+            pass_wc & pass_mwl & pass_sym & pass_bul & pass_ell
+            & pass_alpha & pass_stop
+        ).alias("pass_all"),
+    )
+
+
+# Fixed-stride chunking (P48): the pretraining/RAG shard-prep op that
+# slices every document into overlapping fixed-size word windows
+# (64-word chunks, 48-word stride).  Emits narrow rows — chunk index,
+# word offsets, and a 16-hex md5 fingerprint of the chunk text instead
+# of the text itself (the downstream shard writer or chunk-level dedup
+# joins on the fingerprint; shipping raw chunk text would multiply the
+# shuffle payload by the overlap factor).  ONE linear scan, one explode,
+# no shuffle; empty docs produce no chunks by definition.
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+def _q_chunk_windows(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\r\n]+", " "))
+    w = d.select(
+        "doc_id",
+        F.when(F.length(canon) == 0, F.expr("array()"))
+        .otherwise(F.split(canon, " "))
+        .alias("ws"),
+    )
+    starts = F.expr(
+        f"sequence(1, greatest(size(ws), 1), {_CHUNK_STRIDE})"
+    )
+    chunks = (
+        w.select("doc_id", F.size("ws").alias("n_words"),
+                 "ws", F.posexplode(starts).alias("chunk_idx", "start_word"))
+        .filter(F.col("start_word") <= F.col("n_words"))
+    )
+    piece = F.expr(f"slice(ws, start_word, {_CHUNK_SIZE})")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_word").cast("long").alias("start_word"),
+        F.size(piece).cast("long").alias("n_chunk_words"),
+        F.substring(F.md5(F.concat_ws(" ", piece)), 1, 16).alias("chunk_md5"),
+    )
+
+
+# Sequence packing (P49): concat-and-chop packing of documents into
+# fixed token-budget bins (the standard pretraining batch-prep step —
+# documents are concatenated in a deterministic order and chopped every
+# B tokens, so a document can SPAN adjacent bins).  A single global
+# concatenation order would serialize at 100 TB, so packing runs per
+# (lang, shard) with shard = doc_id % 32 — embarrassingly parallel, and
+# the cumulative-offset window is one exchange on the (lang, shard) key.
+# Output per doc: its word-offset interval within the shard stream and
+# the first/last bin it lands in — all integer, any parallelism.
+_PACK_BIN = 256
+_PACK_SHARDS = 32
+
+
+def _q_pack_sequences(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\r\n]+", " "))
+    n_words = F.when(F.length(canon) == 0, F.lit(0)).otherwise(
+        F.size(F.split(canon, " "))
+    ).cast("long")
+    w = d.select(
+        "doc_id", "lang",
+        (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
+        n_words.alias("n_words"),
+    )
+    win = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = w.withColumn("cum", F.sum("n_words").over(win))
+    start = F.col("cum") - F.col("n_words")
+    return w.select(
+        "doc_id", "lang", "shard", "n_words",
+        start.alias("start_off"),
+        F.expr(f"(cum - n_words) div {_PACK_BIN}").alias("bin_first"),
+        F.when(F.col("n_words") > 0, F.expr(f"(cum - 1) div {_PACK_BIN}"))
+        .otherwise(F.expr(f"(cum - n_words) div {_PACK_BIN}"))
+        .alias("bin_last"),
     )
 
 
@@ -4226,6 +4409,114 @@ def oracle_sql() -> dict[str, str]:
                                   THEN p.score_fp // p.n_words ELSE 0 END,
                              1000000) AS kept
             FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        """,
+        "q_gopher_rules": f"""
+            WITH pg AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 11 = 2
+                          THEN chr(10) || '* item one' || chr(10) ||
+                               '* item two' || chr(10) || '* item three'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 13 = 4
+                          THEN chr(10) || 'to be continued...' || chr(10) ||
+                               'and more...'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 17 = 6
+                          THEN ' ' || repeat('#', 40)
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 23 = 9
+                          THEN {"||".join(f"chr(10) || '* bullet {i}'" for i in range(10))}
+                          ELSE '' END AS page
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id, page,
+                     CASE WHEN length(trim(regexp_replace(lower(page), '[ \t\r\n]+', ' ', 'g'))) = 0
+                          THEN []
+                          ELSE string_split(trim(regexp_replace(lower(page), '[ \t\r\n]+', ' ', 'g')), ' ')
+                     END AS ws,
+                     string_split(page, chr(10)) AS lines
+              FROM pg
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(ws)::BIGINT AS n_words,
+                     coalesce(list_sum([length(w) for w in ws]), 0)::BIGINT AS tot_chars,
+                     len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::BIGINT AS alpha_words,
+                     len(list_intersect(list_distinct(ws),
+                         ['the','a','data','table','query','row','value','column']))::BIGINT AS n_req_stops,
+                     (length(page) - length(replace(page, '#', ''))
+                      + (length(page) - length(replace(page, '...', ''))) // 3
+                     )::BIGINT AS n_symbols,
+                     len(lines)::BIGINT AS n_lines,
+                     len(list_filter(lines, l -> starts_with(ltrim(l), '* ')))::BIGINT AS bullet_lines,
+                     len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::BIGINT AS ellipsis_lines
+              FROM t
+            )
+            SELECT doc_id, n_words, tot_chars, n_symbols,
+                   bullet_lines, ellipsis_lines,
+                   (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+                   (tot_chars >= 3 * n_words AND tot_chars <= 10 * n_words
+                    AND n_words > 0) AS pass_mean_wlen,
+                   (n_symbols * 10 < n_words) AS pass_symbol_ratio,
+                   (bullet_lines * 10 < n_lines * 9) AS pass_bullet,
+                   (ellipsis_lines * 10 < n_lines * 3) AS pass_ellipsis,
+                   (alpha_words * 10 >= n_words * 8) AS pass_alpha,
+                   (n_req_stops >= 2) AS pass_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (tot_chars >= 3 * n_words AND tot_chars <= 10 * n_words
+                         AND n_words > 0)
+                    AND (n_symbols * 10 < n_words)
+                    AND (bullet_lines * 10 < n_lines * 9)
+                    AND (ellipsis_lines * 10 < n_lines * 3)
+                    AND (alpha_words * 10 >= n_words * 8)
+                    AND (n_req_stops >= 2)) AS pass_all
+            FROM m
+        """,
+        "q_chunk_windows": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) = 0
+                          THEN []
+                          ELSE string_split(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')), ' ')
+                     END AS ws
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, ws, len(ws) AS n_words,
+                     unnest(range(1, greatest(len(ws), 1) + 1, {_CHUNK_STRIDE})) AS start_word,
+                     generate_subscripts(range(1, greatest(len(ws), 1) + 1, {_CHUNK_STRIDE}), 1) - 1 AS chunk_idx
+              FROM w
+            )
+            SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+                   start_word::BIGINT AS start_word,
+                   len(ws[start_word : start_word + {_CHUNK_SIZE} - 1])::BIGINT AS n_chunk_words,
+                   substr(md5(array_to_string(ws[start_word : start_word + {_CHUNK_SIZE} - 1], ' ')), 1, 16) AS chunk_md5
+            FROM c WHERE start_word <= n_words
+        """,
+        "q_pack_sequences": f"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     (doc_id % {_PACK_SHARDS})::BIGINT AS shard,
+                     CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) = 0
+                          THEN 0
+                          ELSE len(string_split(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')), ' '))
+                     END::BIGINT AS n_words
+              FROM documents
+            ),
+            c AS (
+              SELECT *, sum(n_words) OVER (PARTITION BY lang, shard
+                                           ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+              FROM w
+            )
+            SELECT doc_id, lang, shard, n_words,
+                   (cum - n_words)::BIGINT AS start_off,
+                   ((cum - n_words) // {_PACK_BIN})::BIGINT AS bin_first,
+                   CASE WHEN n_words > 0 THEN (cum - 1) // {_PACK_BIN}
+                        ELSE (cum - n_words) // {_PACK_BIN} END::BIGINT AS bin_last
+            FROM c
         """,
         "q_decontaminate": f"""
             WITH docs AS (

@@ -298,6 +298,24 @@ def test_importance_resample_broadcasts_stats(spark):
     assert "ExistingRDD" in plan, plan
 
 
+def test_gopher_and_chunking_are_shuffle_free(spark):
+    """P47/P48: pure per-document maps — ONE scan, ZERO exchanges, no
+    Python UDF (whole-stage-codegen JVM expressions only)."""
+    for q in (entry._q_gopher_rules, entry._q_chunk_windows):
+        plan = _plan(q(spark, SF))
+        assert plan.count("Scan parquet") == 1, plan
+        assert plan.count("Exchange") == 0, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_one_exchange(spark):
+    """P49: the per-(lang, shard) cumulative-offset window costs exactly
+    one hash exchange — a global concat order would serialize at 100 TB."""
+    plan = _plan(entry._q_pack_sequences(spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_pagerank_no_cross_products(spark):
     """P39: three unrolled Pregel rounds stay equi-join + hash-agg —
     a cross product anywhere means the rank/edge join key was lost."""
