@@ -3,7 +3,7 @@ jobs/extract.py.
 
   spark-submit --py-files dist/ocr_spark.zip jobs/stream.py \
       --input /path/transcripts-stream --output /path/extracted \
-      --checkpoint /path/ckpt [--mode extract|dedup|rate] \
+      --checkpoint /path/ckpt [--mode extract|dedup|rate|...] \
       [--drain] [--max-files-per-trigger N]
 
 Modes map to the streaming operators in ocr_spark/streaming/:
@@ -14,6 +14,11 @@ Modes map to the streaming operators in ocr_spark/streaming/:
             UTF-8 text file whose lines are the held-out benchmark texts;
             13-gram fingerprints are built on the driver and injected as
             an array literal)
+  quality   stateless Gopher-style per-turn quality gate (P47 twin)
+  resample  stateless DSIR importance scoring against a frozen ratio
+            table (P46 twin; requires --ratio-file, a JSON list of 256
+            bucket ratio_ppm ints — train with dsir_ratio_table or take
+            the batch job's stats output)
 
 `--drain` runs with availableNow=True (process the backlog, then exit —
 backfills and tests); without it the query tails the input forever.
@@ -33,10 +38,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--mode", choices=("extract", "dedup", "rate", "decontam"),
+    p.add_argument("--mode",
+                   choices=("extract", "dedup", "rate", "decontam",
+                            "quality", "resample"),
                    default="extract")
     p.add_argument("--bench-file", default=None,
                    help="decontam mode: file of benchmark texts, one per line")
+    p.add_argument("--ratio-file", default=None,
+                   help="resample mode: JSON file holding the bucket "
+                        "ratio_ppm list")
     p.add_argument("--drain", action="store_true")
     def _positive_int(v: str) -> int:
         n = int(v)
@@ -54,11 +64,15 @@ def main(argv: list[str] | None = None) -> int:
         run_decontam_stream,
         run_dedup_stream,
         run_extract_stream,
+        run_importance_stream,
+        run_quality_gate_stream,
         run_turn_rate_stream,
     )
 
     if args.mode == "decontam" and not args.bench_file:
         p.error("--mode decontam requires --bench-file")
+    if args.mode == "resample" and not args.ratio_file:
+        p.error("--mode resample requires --ratio-file")
 
     spark = build_session(app_name=f"ocr_spark_stream_{args.mode}",
                           master=args.master)
@@ -82,6 +96,22 @@ def main(argv: list[str] | None = None) -> int:
             texts = [ln.strip() for ln in fh if ln.strip()]
         q = run_decontam_stream(
             spark, args.input, bench_gram_fingerprints(texts), out, ckpt,
+            available_now=args.drain,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+    elif args.mode == "quality":
+        q = run_quality_gate_stream(
+            spark, args.input, out, ckpt,
+            available_now=args.drain,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+    elif args.mode == "resample":
+        import json
+
+        with open(args.ratio_file, encoding="utf-8") as fh:
+            ratios = json.load(fh)
+        q = run_importance_stream(
+            spark, args.input, ratios, out, ckpt,
             available_now=args.drain,
             max_files_per_trigger=args.max_files_per_trigger,
         )

@@ -1,9 +1,12 @@
 from ocr_spark.streaming.extract_stream import (  # noqa: F401
     bench_gram_fingerprints,
+    dsir_ratio_table,
     run_decontam_stream,
     run_dedup_stream,
     run_enrich_stream,
     run_extract_stream,
+    run_importance_stream,
+    run_quality_gate_stream,
     run_turn_rate_stream,
     stream_transcripts,
 )

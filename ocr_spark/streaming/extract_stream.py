@@ -274,3 +274,210 @@ def run_decontam_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_quality_gate_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    min_words: int = 5,
+) -> StreamingQuery:
+    """Streaming Gopher-style quality gate (P47's continuous twin): the
+    MassiveText heuristic rules applied per turn DURING ingest, so junk
+    payloads are flagged before they ever reach the training sink.
+
+    Same integer-arithmetic predicates as the batch q_gopher_rules
+    (symbols*10 < words encodes ratio < 0.1 — no float division), minus
+    the required-stopword test: turn-level payloads are routinely a few
+    words long, where a stopword test is noise; the batch rule applies
+    it at document level after conversation assembly.  The word floor
+    defaults to 5 (turns are shorter than documents).  Pure stateless
+    per-row map: no state store, no watermark, exactly-once via the
+    file sink's transaction log.
+    """
+    import pyspark.sql.functions as F
+
+    turns = stream_transcripts(spark, input_path, max_files_per_trigger)
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                         r"[ \t\r\n]+", " ")
+    )
+    t = turns.select(
+        "conv_id", "turn_idx", "ts",
+        F.when(F.length(canon) == 0, F.expr("array()"))
+        .otherwise(F.split(canon, " "))
+        .alias("ws"),
+        F.split(F.coalesce(F.col("text"), F.lit("")), "\n").alias("lines"),
+        F.coalesce(F.col("text"), F.lit("")).alias("page"),
+    )
+    t = t.select(
+        "conv_id", "turn_idx", "ts",
+        F.size("ws").cast("long").alias("n_words"),
+        F.expr("aggregate(ws, 0L, (a, w) -> a + length(w))").alias("tot_chars"),
+        F.expr("size(filter(ws, w -> w rlike '[a-z]'))").cast("long")
+        .alias("alpha_words"),
+        (
+            F.length("page") - F.length(F.regexp_replace("page", r"#", ""))
+            + F.floor(
+                (F.length("page")
+                 - F.length(F.expr("replace(page, '...', '')"))) / F.lit(3)
+            )
+        ).cast("long").alias("n_symbols"),
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr("size(filter(lines, l -> startswith(ltrim(l), '* ')))")
+        .cast("long").alias("bullet_lines"),
+        F.expr("size(filter(lines, l -> endswith(rtrim(l), '...')))")
+        .cast("long").alias("ellipsis_lines"),
+    )
+    pass_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= 100000)
+    pass_mwl = (
+        (F.col("tot_chars") >= 3 * F.col("n_words"))
+        & (F.col("tot_chars") <= 10 * F.col("n_words"))
+        & (F.col("n_words") > 0)
+    )
+    pass_sym = F.col("n_symbols") * 10 < F.col("n_words")
+    pass_bul = F.col("bullet_lines") * 10 < F.col("n_lines") * 9
+    pass_ell = F.col("ellipsis_lines") * 10 < F.col("n_lines") * 3
+    pass_alpha = F.col("alpha_words") * 10 >= F.col("n_words") * 8
+    gated = t.select(
+        "conv_id", "turn_idx", "ts", "n_words",
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_wlen"),
+        pass_sym.alias("pass_symbol_ratio"),
+        pass_bul.alias("pass_bullet"),
+        pass_ell.alias("pass_ellipsis"),
+        pass_alpha.alias("pass_alpha"),
+        (pass_wc & pass_mwl & pass_sym & pass_bul & pass_ell & pass_alpha)
+        .alias("pass_all"),
+    )
+    writer = (
+        gated.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+DSIR_BUCKETS = 256
+
+
+def dsir_ratio_table(
+    raw_texts: list[str], target_texts: list[str], buckets: int = DSIR_BUCKETS
+) -> list[int]:
+    """Train the DSIR hashed-unigram importance-ratio table (bucket ->
+    ratio_ppm) on the driver — the offline half of the classic
+    offline-train / online-score split.  Pure Python with EXACTLY the
+    batch q_importance_resample arithmetic (md5 bucket, add-1-smoothed
+    ppb probabilities, two-step integer division), so a table trained
+    here scores a stream identically to the batch operator scoring the
+    same corpus.  At production scale the table comes from the batch
+    job's 256-row stats output; either way it is a tiny list injected
+    into the streaming plan as an array literal (broadcast-variable
+    analogue, same pattern as bench_gram_fingerprints)."""
+    import hashlib
+    import re
+
+    def words(t: str) -> list[str]:
+        c = re.sub(r"[ \t\r\n]+", " ", t.lower()).strip()
+        return [w for w in c.split(" ") if w] if c else []
+
+    def bucket(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % buckets
+
+    r_cnt = [0] * buckets
+    t_cnt = [0] * buckets
+    for txt in raw_texts:
+        for w in words(txt):
+            r_cnt[bucket(w)] += 1
+    for txt in target_texts:
+        for w in words(txt):
+            t_cnt[bucket(w)] += 1
+    r_tot, t_tot = sum(r_cnt), sum(t_cnt)
+    out = []
+    for b in range(buckets):
+        pt_ppb = (t_cnt[b] + 1) * 1000000000 // (t_tot + buckets)
+        pr_ppb = (r_cnt[b] + 1) * 1000000000 // (r_tot + buckets)
+        out.append(pt_ppb * 1000000 // max(pr_ppb, 1))
+    return out
+
+
+def run_importance_stream(
+    spark: SparkSession,
+    input_path: str,
+    ratio_ppm: list[int],
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming DSIR importance scoring (P46's continuous twin): score
+    every arriving turn against a FROZEN bucket-ratio table and gate it
+    with the same md5 keep rule as the batch operator — train offline
+    (dsir_ratio_table / the batch job's stats), score online.
+
+    The 256-entry table rides into the plan as an array literal indexed
+    by word bucket (streaming broadcast-variable analogue) — a pure
+    stateless per-row map: no stream-static join to re-plan when the
+    table refreshes (restart with a new literal instead, the standard
+    model-rollout pattern), no state store.  The keep gate hashes
+    (conv_id, turn_idx) so a turn's verdict is reproducible across
+    restarts and reprocessing.
+    """
+    import pyspark.sql.functions as F
+
+    if len(ratio_ppm) == 0:
+        raise ValueError("ratio_ppm table must be non-empty")
+    buckets = len(ratio_ppm)
+    rat = F.array(*[F.lit(int(r)) for r in ratio_ppm])
+    turns = stream_transcripts(spark, input_path, max_files_per_trigger)
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                         r"[ \t\r\n]+", " ")
+    )
+    t = turns.select(
+        "conv_id", "turn_idx", "ts",
+        F.when(F.length(canon) == 0, F.expr("array()"))
+        .otherwise(F.split(canon, " "))
+        .alias("ws"),
+    ).withColumn("rat", rat)
+    score = F.expr(
+        "aggregate(filter(ws, w -> w != ''),"
+        " 0L,"
+        f" (a, w) -> a + element_at(rat, cast(cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % {buckets} + 1 as int)))"
+    )
+    n_words = F.expr("size(filter(ws, w -> w != ''))").cast("long")
+    keyed = t.select(
+        "conv_id", "turn_idx", "ts",
+        n_words.alias("n_words"),
+        score.alias("score_fp"),
+    ).withColumn(
+        "avg_ppm",
+        F.expr("case when n_words > 0 then score_fp div n_words else 0 end"),
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % F.lit(1000000)
+    )
+    scored = keyed.withColumn(
+        "kept", gate < F.least(F.col("avg_ppm"), F.lit(1000000))
+    )
+    writer = (
+        scored.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -515,3 +515,98 @@ def test_stream_job_cli_decontam_drive(spark, dirs, tmp_path):
     assert len(got) == len(pdf)
     assert got.contaminated.sum() == len(idx)
     assert (got[got.contaminated].n_hits >= 1).all()
+
+
+def test_quality_gate_stream_flags_planted_junk(spark, dirs):
+    """Streaming quality gate (P47 twin): planted junk turns fail the
+    matching rule in-flight; ordinary prose turns pass everything."""
+    from ocr_spark.streaming import run_quality_gate_stream
+
+    inp, outp, ckpt = dirs
+    pdf = gen_transcripts(n_convs=10)
+    idx = pdf.index
+    # plant one failure case per rule on disjoint deterministic slices
+    sym = list(idx[idx % 7 == 1])
+    pdf.loc[sym, "text"] = pdf.loc[sym, "text"].fillna("") + " " + "#" * 200
+    bul = list(idx[idx % 7 == 2])
+    pdf.loc[bul, "text"] = "\n".join(f"* bullet {i} item" for i in range(10))
+    short = list(idx[idx % 7 == 3])
+    pdf.loc[short, "text"] = "hi there"
+    _write_batch(spark, pdf, inp)
+
+    q = run_quality_gate_stream(spark, inp, outp, ckpt, available_now=True)
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = spark.read.parquet(outp).toPandas()
+    assert len(got) == len(pdf)
+    key = got.set_index(["conv_id", "turn_idx"])
+    src = pdf.set_index(["conv_id", "turn_idx"])
+    for i, k in enumerate(src.index):
+        row = key.loc[k]
+        if i % 7 == 1 and isinstance(src.loc[k, "text"], str):
+            assert not row["pass_symbol_ratio"], k
+            assert not row["pass_all"], k
+        elif i % 7 == 2:
+            assert not row["pass_bullet"], k
+            assert not row["pass_all"], k
+        elif i % 7 == 3:
+            assert not row["pass_word_count"], k
+            assert not row["pass_all"], k
+    # the gate is not degenerate: some turns pass everything
+    assert got["pass_all"].sum() > 0
+
+
+def test_importance_stream_matches_python_trainer(spark, dirs):
+    """Streaming DSIR scoring (P46 twin): the plan's array-literal
+    arithmetic must reproduce the pure-Python trainer's scores exactly,
+    and the md5 keep gate must be reproducible per (conv_id, turn_idx)."""
+    import hashlib
+    import re
+
+    from ocr_spark.streaming import dsir_ratio_table, run_importance_stream
+
+    inp, outp, ckpt = dirs
+    pdf = gen_transcripts(n_convs=8)
+    texts = [t for t in pdf["text"].tolist() if isinstance(t, str)]
+    target = texts[::3]  # deterministic "reference corpus" slice
+    ratios = dsir_ratio_table(texts, target)
+    assert len(ratios) == 256 and all(isinstance(r, int) for r in ratios)
+    _write_batch(spark, pdf, inp)
+
+    q = run_importance_stream(spark, inp, ratios, outp, ckpt, available_now=True)
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = spark.read.parquet(outp).toPandas()
+    assert len(got) == len(pdf)
+
+    def py_score(t):
+        if not isinstance(t, str):
+            return 0, 0
+        c = re.sub(r"[ \t\r\n]+", " ", t.lower()).strip()
+        ws = [w for w in c.split(" ") if w] if c else []
+        s = sum(
+            ratios[int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 256]
+            for w in ws
+        )
+        return len(ws), s
+
+    key = got.set_index(["conv_id", "turn_idx"])
+    src = pdf.set_index(["conv_id", "turn_idx"])
+    checked = 0
+    for k in src.index:
+        n, s = py_score(src.loc[k, "text"])
+        assert key.loc[k, "n_words"] == n, k
+        assert key.loc[k, "score_fp"] == s, k
+        avg = s // n if n else 0
+        gate = (
+            int(
+                hashlib.md5(f"{k[0]}:{k[1]}".encode()).hexdigest()[:15], 16
+            ) % 1000000
+        )
+        assert key.loc[k, "kept"] == (gate < min(avg, 1000000)), k
+        checked += 1
+    assert checked == len(pdf)
+    # scores vary and the gate is not all-or-nothing on this corpus
+    assert got["score_fp"].nunique() > 1
