@@ -661,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": _q_gopher_rules,
         "q_chunk_windows": _q_chunk_windows,
         "q_pack_sequences": _q_pack_sequences,
+        "q_url_dedup": _q_url_dedup,
+        "q_c4_filters": _q_c4_filters,
         "q_fuzzy_join": _q_fuzzy_join,
         "q_pagerank": _q_pagerank,
         "q_span_dedup": _q_span_dedup,
@@ -1642,6 +1644,136 @@ def _q_importance_resample(spark, sf_dir):
             ),
         )
         .withColumn("kept", doc_bkt < F.least(F.col("avg_ppm"), F.lit(1000000)))
+    )
+
+
+# C4 filters (P53): the line-and-page rule set from the C4 corpus
+# build (Raffel et al. 2020, arXiv:1910.10683 §2.2) — keep only lines
+# that end in terminal punctuation, have >= 5 words, and do not mention
+# javascript; drop pages containing "lorem ipsum" or a curly brace;
+# drop pages with < 3 sentences after line filtering.  The synthetic
+# corpus is single-line unpunctuated prose, so a multi-line PAGE is
+# constructed deterministically first: words re-wrapped into 12-word
+# lines, 3 of every 4 lines terminally punctuated (keyed on
+# doc_id + line index), and the lorem/brace/javascript failure cases
+# planted on disjoint doc slices — both engines build the identical
+# page, so the rules have real work and real failures at every sf.
+# Scale shape: one linear scan, per-row array ops, no UDF, no shuffle
+# before the narrow output projection.
+_C4_LINE_WORDS = 12
+
+
+def _q_c4_filters(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\r\n]+", " "))
+    d = d.select(
+        "doc_id",
+        F.when(F.length(canon) == 0, F.expr("array()"))
+        .otherwise(F.split(canon, " "))
+        .alias("ws"),
+    )
+    n_lines0 = f"greatest((size(ws) + {_C4_LINE_WORDS - 1}) div {_C4_LINE_WORDS}, 1)"
+    base_lines = F.expr(
+        f"transform(sequence(1, {n_lines0}),"
+        f" i -> concat_ws(' ', slice(ws, (i - 1) * {_C4_LINE_WORDS} + 1,"
+        f" {_C4_LINE_WORDS}))"
+        f" || if((doc_id + i) % 4 != 3, '.', ''))"
+    )
+    empty = "cast(array() as array<string>)"
+    planted = F.expr(
+        "concat("
+        " if(doc_id % 29 = 11,"
+        "  array('lorem ipsum dolor sit amet consectetur adipiscing elit.'),"
+        f"  {empty}),"
+        " if(doc_id % 31 = 12,"
+        f"  array('function demo() {{ return 1; }} end of sample.'), {empty}),"
+        " if(doc_id % 37 = 13,"
+        f"  array('please enable javascript to view this page.'), {empty}))"
+    )
+    d = d.select("doc_id", F.concat(base_lines, planted).alias("lines"))
+    kept = F.expr(
+        "filter(lines, l ->"
+        " (endswith(l, '.') or endswith(l, '!') or endswith(l, '?'))"
+        " and size(split(l, ' ')) >= 5"
+        " and not contains(l, 'javascript'))"
+    )
+    d = d.select("doc_id", "lines", kept.alias("kept"))
+    page = F.concat_ws(" ", F.col("lines"))
+    kept_text = F.concat_ws(" ", F.col("kept"))
+    n_sentences = (
+        F.length(kept_text)
+        - F.length(F.regexp_replace(kept_text, r"[.!?]", ""))
+    ).cast("long")
+    has_lorem = page.contains("lorem ipsum")
+    has_brace = page.contains("{")
+    out = d.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept_lines"),
+        F.expr("aggregate(kept, 0L, (a, l) -> a + size(split(l, ' ')))")
+        .alias("retained_words"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+    )
+    return out.withColumn(
+        "keep_doc",
+        ~F.col("has_lorem") & ~F.col("has_brace") & (F.col("n_sentences") >= 3),
+    )
+
+
+# URL/domain curation (P52): the C4/CommonCrawl URL-pipeline stage —
+# canonicalize a document URL, extract its registrable domain, drop
+# blocklisted domains, and keep ONE document per canonical URL (crawls
+# re-fetch the same URL across snapshots; URL-level keep-first is the
+# cheapest dedup tier, applied before any content hashing).  URLs are
+# SYNTHESIZED deterministically from the corpus' (source, doc_id)
+# columns — http/https scheme, a www. prefix on one slice, a tracking
+# query string on another, and a re-fetch alias (doc_id mod collision)
+# so canonicalization and URL-dedup both have real work at every sf.
+# Scale shape: the blocklist is tiny (broadcast anti-join), domain
+# extraction is regexp on a linear scan, and keep-first is a hash agg
+# on the canonical-url key.  Output: one row per surviving canonical
+# URL with its keeper doc and re-fetch count.
+_URL_BLOCKLIST = "('src3.example.com','src7.example.com','src13.example.com')"
+
+
+def _q_url_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    # deterministic synthetic URL: scheme varies by parity, one slice
+    # gets a www. prefix, one a tracking query; doc_id div 7 aliases
+    # several docs onto one path (the re-fetch)
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 5 == 1, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 2, F.lit("?utm_source=feed")
+        ).otherwise(F.lit("")),
+    )
+    d = d.select("doc_id", "source", url.alias("url"))
+    # canonicalization: strip scheme, www., and the query string
+    canon = F.regexp_replace(
+        F.regexp_replace(F.col("url"), r"^https?://(www\.)?", ""),
+        r"\?.*$", "",
+    )
+    host = F.regexp_extract(canon, r"^([^/]+)", 1)
+    d = d.select("doc_id", "url", canon.alias("canon_url"), host.alias("domain"))
+    block = spark.createDataFrame(
+        [(h.strip("'"),) for h in _URL_BLOCKLIST.strip("()").split(",")],
+        "domain string",
+    )
+    kept = d.join(F.broadcast(block), "domain", "left_anti")
+    return (
+        kept.groupBy("canon_url", "domain")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_fetches"),
+            F.sum("doc_id").cast("long").alias("fetch_id_sum"),
+        )
     )
 
 
@@ -4409,6 +4541,90 @@ def oracle_sql() -> dict[str, str]:
                                   THEN p.score_fp // p.n_words ELSE 0 END,
                              1000000) AS kept
             FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        """,
+        "q_c4_filters": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) = 0
+                          THEN []
+                          ELSE string_split(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')), ' ')
+                     END AS ws
+              FROM documents
+            ),
+            lb AS (
+              SELECT doc_id,
+                     [array_to_string(ws[(i - 1) * {_C4_LINE_WORDS} + 1 : (i - 1) * {_C4_LINE_WORDS} + {_C4_LINE_WORDS}], ' ') ||
+                      CASE WHEN (doc_id + i) % 4 != 3 THEN '.' ELSE '' END
+                      for i in range(1, greatest((len(ws) + {_C4_LINE_WORDS - 1}) // {_C4_LINE_WORDS}, 1) + 1)] AS base_lines
+              FROM w
+            ),
+            p AS (
+              SELECT doc_id,
+                     base_lines ||
+                     CASE WHEN doc_id % 29 = 11
+                          THEN ['lorem ipsum dolor sit amet consectetur adipiscing elit.']
+                          ELSE [] END ||
+                     CASE WHEN doc_id % 31 = 12
+                          THEN ['function demo() {{ return 1; }} end of sample.']
+                          ELSE [] END ||
+                     CASE WHEN doc_id % 37 = 13
+                          THEN ['please enable javascript to view this page.']
+                          ELSE [] END AS lines
+              FROM lb
+            ),
+            k AS (
+              SELECT doc_id, lines,
+                     list_filter(lines, l ->
+                       (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?'))
+                       AND len(string_split(l, ' ')) >= 5
+                       AND NOT contains(l, 'javascript')) AS kept,
+                     array_to_string(lines, ' ') AS page
+              FROM p
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(lines)::BIGINT AS n_lines,
+                     len(kept)::BIGINT AS n_kept_lines,
+                     coalesce(list_sum([len(string_split(l, ' ')) for l in kept]), 0)::BIGINT AS retained_words,
+                     coalesce(length(array_to_string(kept, ' '))
+                      - length(regexp_replace(array_to_string(kept, ' '), '[.!?]', '', 'g')), 0)::BIGINT AS n_sentences,
+                     contains(page, 'lorem ipsum') AS has_lorem,
+                     contains(page, '{{') AS has_brace
+              FROM k
+            )
+            SELECT doc_id, n_lines, n_kept_lines, retained_words, n_sentences,
+                   has_lorem, has_brace,
+                   (NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS keep_doc
+            FROM m
+        """,
+        "q_url_dedup": f"""
+            WITH u AS (
+              SELECT doc_id, source,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
+                      CASE WHEN doc_id % 5 = 1 THEN 'www.' ELSE '' END ||
+                      source || '.example.com/p/' || (doc_id % 7)::VARCHAR ||
+                      CASE WHEN doc_id % 3 = 2 THEN '?utm_source=feed' ELSE '' END
+                     ) AS url
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, url,
+                     regexp_replace(regexp_replace(url, '^https?://(www\\.)?', ''),
+                                    '\\?.*$', '') AS canon_url
+              FROM u
+            ),
+            d AS (
+              SELECT doc_id, url, canon_url,
+                     regexp_extract(canon_url, '^([^/]+)', 1) AS domain
+              FROM c
+            )
+            SELECT canon_url, domain,
+                   min(doc_id) AS keep_id,
+                   count(*)::BIGINT AS n_fetches,
+                   sum(doc_id)::BIGINT AS fetch_id_sum
+            FROM d
+            WHERE domain NOT IN {_URL_BLOCKLIST}
+            GROUP BY 1, 2
         """,
         "q_gopher_rules": f"""
             WITH pg AS (

@@ -301,11 +301,21 @@ def test_importance_resample_broadcasts_stats(spark):
 def test_gopher_and_chunking_are_shuffle_free(spark):
     """P47/P48: pure per-document maps — ONE scan, ZERO exchanges, no
     Python UDF (whole-stage-codegen JVM expressions only)."""
-    for q in (entry._q_gopher_rules, entry._q_chunk_windows):
+    for q in (entry._q_gopher_rules, entry._q_chunk_windows,
+              entry._q_c4_filters):
         plan = _plan(q(spark, SF))
         assert plan.count("Scan parquet") == 1, plan
         assert plan.count("Exchange") == 0, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_dedup_broadcast_anti_blocklist(spark):
+    """P52: the domain blocklist is tiny and static — it must hit the
+    corpus scan as a broadcast ANTI join, never a shuffle."""
+    plan = _plan(entry._q_url_dedup(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_pack_sequences_one_exchange(spark):
