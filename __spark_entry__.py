@@ -668,6 +668,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": _q_span_dedup,
         "q_markov_transitions": _q_markov_transitions,
         "q_triangle_count": _q_triangle_count,
+        "q_retention_cohorts": _q_retention_cohorts,
+        "q_outlier_events": _q_outlier_events,
+        "q_pareto_frontier": _q_pareto_frontier,
+        "q_table_profile": _q_table_profile,
+        "q_trend_slope": _q_trend_slope,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -1285,6 +1290,214 @@ def _q_markov_transitions(spark, sf_dir):
         F.sum("n_trans").over(wf).cast("long").alias("n_from"),
         F.expr("n_trans * 1000000 div sum(n_trans) over (partition by from_type)")
         .cast("long").alias("prob_ppm"),
+    )
+
+
+# Retention cohorts (P54): the classic product-analytics cohort
+# matrix — users grouped by their first-activity week, counted again at
+# every later week offset.  Reference parity: none (beyond-parity
+# analytics tier, like funnel/sessionize).  Scale shape: ONE scan, one
+# hash exchange on user_id for the per-user first-week window, then a
+# distinct-user aggregate on the tiny (cohort, offset) key space —
+# output is O(weeks^2) rows regardless of corpus size.  Week ids are
+# integer microsecond arithmetic (unix_micros div week), so both
+# engines bucket identically with no timezone or float drift.
+_WEEK_US = 604_800_000_000  # microseconds per week
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    wk = F.expr(f"unix_micros(cast(ts as timestamp)) div {_WEEK_US}")
+    w = Window.partitionBy("user_id")
+    x = ev.select("user_id", wk.alias("wk"))
+    x = x.withColumn("cohort_week", F.min("wk").over(w))
+    return (
+        x.groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+# Robust outlier flags (P55): per-event-type 3-sigma outliers with the
+# whole test in INTEGER arithmetic — values fixed-pointed per row
+# (floor(value*100)), mean_fp = sum div n, variance_fp = sum(dev^2)
+# div n, and the flag is dev^2 > 9 * variance_fp (3 sigma, both sides
+# integer — no sqrt, no float division to diverge between engines).
+# Scale shape: the narrow (event_id, type, v_fp) projection is
+# materialized ONCE (localCheckpoint — both the stats pass and the
+# deviation pass read it); the per-type stats tables are 5 rows and
+# BROADCAST back onto the linear scan twice.  int64 headroom: dev^2
+# sums overflow only past ~4e11 rows per type; beyond that the
+# production path merges per-partition (n, sum, sum_sq) partials in
+# decimal — noted, not needed at any sandbox sf.
+def _q_outlier_events(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v_fp"),
+    ).localCheckpoint(eager=False)
+    stats = (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_fp").cast("long").alias("s"),
+        )
+        .withColumn("mean_fp", F.expr("s div n").cast("long"))
+        .drop("s")
+    )
+    j = base.join(F.broadcast(stats), "event_type").withColumn(
+        "dev", F.col("v_fp") - F.col("mean_fp")
+    )
+    var_t = j.groupBy("event_type").agg(
+        F.expr("sum(dev * dev) div max(n)").cast("long").alias("var_fp")
+    )
+    flag = F.col("dev") * F.col("dev") > 9 * F.col("var_fp")
+    return (
+        j.join(F.broadcast(var_t), "event_type")
+        .groupBy("event_type", "n", "mean_fp", "var_fp")
+        .agg(
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.sum(F.when(flag, F.col("event_id")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("outlier_id_sum"),
+        )
+    )
+
+
+# Pareto frontier / skyline (P56): users not dominated on the
+# (total spend, event count) plane — b dominates a iff b >= a on both
+# dims and > on at least one.  Spark side is the scale formulation:
+# per-user aggregate -> distinct points -> LOCAL skyline per salt
+# partition (the global skyline is a subset of the union of partition
+# skylines, so local pruning is lossless) -> global skyline over the
+# tiny survivor set.  Both windows use the same ordering trick: over
+# distinct points ordered (s desc, c desc), a point is dominated iff
+# max(c) over the strictly-preceding rows >= its own c.  The oracle is
+# the INDEPENDENT quadratic ground truth (NOT EXISTS dominance
+# anti-join), so the window algebra is verified against the definition
+# rather than against itself.
+def _q_pareto_frontier(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("s_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    pts = users.groupBy("s_fp", "n_events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("user_id").cast("long").alias("min_user"),
+    )
+    prior = Window.rowsBetween(Window.unboundedPreceding, -1)
+    # local pruning: partition skylines are a lossless superset filter
+    local = Window.partitionBy("salt").orderBy(
+        F.col("s_fp").desc(), F.col("n_events").desc()
+    )
+    cand = (
+        pts.withColumn("salt", F.pmod(F.col("s_fp"), F.lit(64)))
+        .withColumn("lb", F.max("n_events").over(local.rowsBetween(
+            Window.unboundedPreceding, -1)))
+        .filter(F.col("lb").isNull() | (F.col("n_events") > F.col("lb")))
+        .drop("salt", "lb")
+    )
+    glob = Window.orderBy(F.col("s_fp").desc(), F.col("n_events").desc())
+    gb = F.max("n_events").over(glob.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        cand.withColumn("gb", gb)
+        .filter(F.col("gb").isNull() | (F.col("n_events") > F.col("gb")))
+        .drop("gb")
+    )
+
+
+# Table profile (P57): one-pass column profiling — per column the row
+# count, null count, exact distinct count, and typed min/max — the
+# data-quality / schema-drift primitive every ingest pipeline runs
+# before trusting a drop.  Spark side reads the table ONCE and unpivots
+# via stack() into (col_name, is_null, num_val, str_val) rows (numerics
+# and timestamps land in num_val as unix micros, strings in str_val —
+# min/max stay typed, no lossy stringification); one hash aggregate on
+# the 5-key col_name space.  The oracle is the independent formulation:
+# five per-column aggregate scans UNION ALL'd.  Exact distinct is the
+# verification-grade choice; the 100 TB profile swaps it for the HLL
+# sketch (P29) — documented, same plumbing.
+def _q_table_profile(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    stacked = ev.select(
+        F.expr(
+            "stack(5,"
+            " 'event_id', event_id is null, event_id,"
+            "   cast(null as string),"
+            " 'user_id', user_id is null, user_id,"
+            "   cast(null as string),"
+            " 'ts_us', ts is null, unix_micros(cast(ts as timestamp)),"
+            "   cast(null as string),"
+            " 'event_type', event_type is null, cast(null as bigint),"
+            "   event_type,"
+            " 'props', props is null, cast(null as bigint), props"
+            ") as (col_name, is_null, num_val, str_val)"
+        )
+    )
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("is_null"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        (F.countDistinct("num_val") + F.countDistinct("str_val"))
+        .cast("long")
+        .alias("n_distinct"),
+        F.min("num_val").cast("long").alias("min_num"),
+        F.max("num_val").cast("long").alias("max_num"),
+        F.min("str_val").alias("min_str"),
+        F.max("str_val").alias("max_str"),
+    )
+
+
+# Trend slopes (P58): per-event-type weekly volume trend as an EXACT
+# least-squares slope — num = n*Sxy - Sx*Sy, den = n*Sxx - Sx^2 over
+# (week index, weekly count) points, slope in integer ppm.  The whole
+# regression is closed-form integer arithmetic (x is a small week
+# index, y a count), so both engines produce bit-identical slopes —
+# the trick that makes a "statistics" operator value-hash-verifiable.
+# Scale shape: one scan -> (type, week) hash agg (tiny key space) ->
+# per-type second agg; nothing grows with corpus size after the first
+# aggregate.  den > 0 whenever a type spans >= 2 weeks; single-week
+# types yield NULL slope rather than a division blowup.
+def _q_trend_slope(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    wk = F.expr(f"unix_micros(cast(ts as timestamp)) div {_WEEK_US}")
+    weekly = ev.groupBy("event_type", wk.alias("wk")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    wmin = Window.partitionBy("event_type")
+    weekly = weekly.withColumn("x", F.col("wk") - F.min("wk").over(wmin))
+    agg = weekly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n_weeks") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_weeks") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "event_type",
+        "n_weeks",
+        "sy",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(
+            den > 0,
+            F.expr(
+                "(1000000 * (n_weeks * sxy - sx * sy))"
+                " div (n_weeks * sxx - sx * sx)"
+            ),
+        ).cast("long").alias("slope_ppm"),
     )
 
 
@@ -4347,6 +4560,136 @@ def oracle_sql() -> dict[str, str]:
                     sum(n_trans) OVER (PARTITION BY from_type))::BIGINT
                      AS prob_ppm
             FROM t
+        """,
+        "q_retention_cohorts": f"""
+            WITH x AS (
+              SELECT user_id,
+                     epoch_us(ts) // {_WEEK_US} AS wk,
+                     min(epoch_us(ts) // {_WEEK_US})
+                       OVER (PARTITION BY user_id) AS cohort_week
+              FROM events
+            )
+            SELECT cohort_week, wk - cohort_week AS week_offset,
+                   count(DISTINCT user_id)::BIGINT AS n_users,
+                   count(*)::BIGINT AS n_events
+            FROM x GROUP BY 1, 2
+        """,
+        "q_outlier_events": """
+            WITH b AS (
+              SELECT event_id, event_type,
+                     floor(value * 100)::BIGINT AS v_fp
+              FROM events
+            ),
+            s AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     (sum(v_fp) // count(*))::BIGINT AS mean_fp
+              FROM b GROUP BY 1
+            ),
+            j AS (
+              SELECT b.event_type, b.event_id, s.n, s.mean_fp,
+                     b.v_fp - s.mean_fp AS dev
+              FROM b JOIN s USING (event_type)
+            ),
+            v AS (
+              SELECT event_type,
+                     (sum(dev * dev) // max(n))::BIGINT AS var_fp
+              FROM j GROUP BY 1
+            )
+            SELECT j.event_type, j.n, j.mean_fp, v.var_fp,
+                   sum(CASE WHEN dev * dev > 9 * var_fp
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                   sum(CASE WHEN dev * dev > 9 * var_fp
+                            THEN event_id ELSE 0 END)::BIGINT
+                     AS outlier_id_sum
+            FROM j JOIN v USING (event_type)
+            GROUP BY 1, 2, 3, 4
+        """,
+        "q_pareto_frontier": """
+            WITH u AS (
+              SELECT user_id,
+                     sum(floor(value * 100)::BIGINT)::BIGINT AS s_fp,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1
+            ),
+            p AS (
+              SELECT s_fp, n_events,
+                     count(*)::BIGINT AS n_users,
+                     min(user_id)::BIGINT AS min_user
+              FROM u GROUP BY 1, 2
+            )
+            SELECT s_fp, n_events, n_users, min_user
+            FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.s_fp >= a.s_fp AND b.n_events >= a.n_events
+                AND (b.s_fp > a.s_fp OR b.n_events > a.n_events))
+        """,
+        "q_table_profile": """
+            SELECT 'event_id' AS col_name, count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_null,
+                   count(DISTINCT event_id)::BIGINT AS n_distinct,
+                   min(event_id)::BIGINT AS min_num,
+                   max(event_id)::BIGINT AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*)::BIGINT,
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT user_id)::BIGINT,
+                   min(user_id)::BIGINT, max(user_id)::BIGINT,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'ts_us', count(*)::BIGINT,
+                   sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT ts)::BIGINT,
+                   min(epoch_us(ts))::BIGINT, max(epoch_us(ts))::BIGINT,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*)::BIGINT,
+                   sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT event_type)::BIGINT,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'props', count(*)::BIGINT,
+                   sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT props)::BIGINT,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   min(props), max(props)
+            FROM events
+        """,
+        "q_trend_slope": f"""
+            WITH weekly AS (
+              SELECT event_type,
+                     epoch_us(ts) // {_WEEK_US} AS wk,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+            ),
+            xs AS (
+              SELECT event_type, y,
+                     wk - min(wk) OVER (PARTITION BY event_type) AS x
+              FROM weekly
+            ),
+            a AS (
+              SELECT event_type,
+                     count(*)::BIGINT AS n_weeks,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+              FROM xs GROUP BY 1
+            )
+            SELECT event_type, n_weeks, sy,
+                   (n_weeks * sxy - sx * sy)::BIGINT AS slope_num,
+                   (n_weeks * sxx - sx * sx)::BIGINT AS slope_den,
+                   CASE WHEN n_weeks * sxx - sx * sx > 0
+                        THEN ((1000000 * (n_weeks * sxy - sx * sy))
+                              // (n_weeks * sxx - sx * sx))::BIGINT
+                        ELSE NULL END AS slope_ppm
+            FROM a
         """,
         "q_span_dedup": f"""
             WITH planted AS (

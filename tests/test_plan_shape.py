@@ -332,3 +332,33 @@ def test_pagerank_no_cross_products(spark):
     plan = _plan(entry._q_pagerank(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_outlier_events_broadcast_stats(spark):
+    """P55: both per-type stats tables (mean, variance) are 5 rows —
+    they must come back onto the event scan as BROADCAST joins over the
+    once-materialized narrow projection, never shuffled joins."""
+    plan = _plan(entry._q_outlier_events(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan, plan  # localCheckpoint materialize-once
+
+
+def test_analytics_tier_single_scan(spark):
+    """P54/P56/P57/P58: retention, skyline, profile, and trend each read
+    the events table exactly ONCE (the profile oracle needs five scans —
+    the stack() unpivot is the point) with no Python in the plan."""
+    for q in (entry._q_retention_cohorts, entry._q_pareto_frontier,
+              entry._q_table_profile, entry._q_trend_slope):
+        plan = _plan(q(spark, SF))
+        assert plan.count("Scan parquet") == 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_pareto_local_prune_before_global_window(spark):
+    """P56: the global skyline window must be fed by the salt-partitioned
+    LOCAL skyline (two Window nodes) — without local pruning the global
+    single-partition sort sees every distinct point."""
+    plan = _plan(entry._q_pareto_frontier(spark, SF))
+    assert plan.count("Window") >= 2, plan
