@@ -17,6 +17,9 @@ from ocr_spark.streaming.sketch import (  # noqa: F401
     hll_estimate,
     run_hll_register_stream,
 )
+from ocr_spark.streaming.sessionize import (  # noqa: F401
+    run_sessionize_stream,
+)
 from ocr_spark.streaming.stateful import (  # noqa: F401
     run_conversation_assembly_stream,
 )

@@ -610,3 +610,69 @@ def test_importance_stream_matches_python_trainer(spark, dirs):
     assert checked == len(pdf)
     # scores vary and the gate is not all-or-nothing on this corpus
     assert got["score_fp"].nunique() > 1
+
+
+def test_stream_sessionize_gap_split_and_timeout(spark, dirs):
+    """P59: the streaming twin of q_sessionize — a >30-min silence closes
+    a session in-flight (emitted the moment the gap is observable), and
+    the watermark timeout flushes whatever is still open."""
+    from ocr_spark.streaming.sessionize import run_sessionize_stream
+
+    inp, outp, ckpt = dirs
+
+    def drain():
+        q = run_sessionize_stream(spark, inp, outp, ckpt, available_now=True)
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    import datetime as dt
+
+    def turns(conv, minutes):
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": conv,
+                    "turn_idx": i,
+                    "role": "user",
+                    "text": "x",
+                    "tool": "",
+                    "ts": dt.datetime(2024, 1, 1, m // 60, m % 60, 0),
+                }
+                for i, m in enumerate(minutes)
+            ]
+        )
+
+    # session 1 of conv-a (3 turns inside 2 min) + conv-b's only turn
+    _write_batch(spark, pd.concat([turns("conv-a", [0, 1, 2]), turns("conv-b", [0])]), inp)
+    drain()
+    # 48-min silence then two more conv-a turns -> session 1 closes NOW
+    _write_batch(spark, turns("conv-a", [50, 51]), inp)
+    drain()
+    got = spark.read.parquet(outp).toPandas()
+    assert len(got) == 1
+    s1 = got.iloc[0]
+    base_ms = int(dt.datetime(2024, 1, 1).timestamp() * 1000)
+    assert s1.conv_id == "conv-a" and int(s1.sess_idx) == 1
+    assert int(s1.n_turns) == 3
+    assert int(s1.start_ms) == base_ms and int(s1.end_ms) == base_ms + 120_000
+
+    # hour-3 activity pushes the watermark past every idle horizon
+    _write_batch(spark, turns("conv-late", [180]), inp)
+    drain()
+    out = (
+        spark.read.parquet(outp)
+        .toPandas()
+        .sort_values(["conv_id", "sess_idx"])
+        .reset_index(drop=True)
+    )
+    key = out[["conv_id", "sess_idx", "n_turns"]].astype(
+        {"sess_idx": int, "n_turns": int}
+    )
+    assert list(key.itertuples(index=False, name=None)) == [
+        ("conv-a", 1, 3),
+        ("conv-a", 2, 2),
+        ("conv-b", 1, 1),
+    ]
+    a2 = out[(out.conv_id == "conv-a") & (out.sess_idx == 2)].iloc[0]
+    assert int(a2.start_ms) == base_ms + 50 * 60_000
+    assert int(a2.end_ms) == base_ms + 51 * 60_000
