@@ -673,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pareto_frontier": _q_pareto_frontier,
         "q_table_profile": _q_table_profile,
         "q_trend_slope": _q_trend_slope,
+        "q_ab_chisq": _q_ab_chisq,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -1498,6 +1499,53 @@ def _q_trend_slope(spark, sf_dir):
                 " div (n_weeks * sxx - sx * sx)"
             ),
         ).cast("long").alias("slope_ppm"),
+    )
+
+
+# A/B chi-square test (P60): two-proportion significance over a 2x2
+# contingency table (variant = user parity, conversion = any purchase
+# event) — Pearson chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)), held in
+# INTEGER milli-units end to end (the 5%-critical-value gate compares
+# chi2_milli > 3841), so the verdict cannot drift between engines.
+# Scale shape: per-user conversion flags are one hash agg on user_id,
+# the 2x2 table is a 2-row aggregate, and the test itself is driver-free
+# scalar arithmetic on a 1-row frame.  int64 headroom covers ~1e5 users
+# per cell; past that the production path computes the cell products in
+# decimal — same note as the P55 variance sums.
+def _q_ab_chisq(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("converted")
+    )
+    cells = conv.groupBy(F.pmod(F.col("user_id"), F.lit(2)).alias("variant")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    t = cells.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n_conv")))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n_users") - F.col("n_conv")))
+        .cast("long").alias("b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_conv")))
+        .cast("long").alias("c"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_users") - F.col("n_conv")))
+        .cast("long").alias("d"),
+    )
+    den = F.expr("(a + b) * (c + d) * (a + c) * (b + d)")
+    chi = F.when(
+        den > 0,
+        F.expr(
+            "(1000 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c))"
+            " div ((a + b) * (c + d) * (a + c) * (b + d))"
+        ),
+    )  # a degenerate margin (no users or no variance) yields NULL, not a blowup
+    return t.select(
+        "a", "b", "c", "d",
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .cast("long").alias("n"),
+        chi.cast("long").alias("chi2_milli"),
+        F.coalesce(chi > 3841, F.lit(False)).alias("significant"),
     )
 
 
@@ -4690,6 +4738,41 @@ def oracle_sql() -> dict[str, str]:
                               // (n_weeks * sxx - sx * sx))::BIGINT
                         ELSE NULL END AS slope_ppm
             FROM a
+        """,
+        "q_ab_chisq": """
+            WITH conv AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+              FROM events GROUP BY 1
+            ),
+            cells AS (
+              SELECT user_id % 2 AS variant,
+                     count(*)::BIGINT AS n_users,
+                     sum(converted)::BIGINT AS n_conv
+              FROM conv GROUP BY 1
+            ),
+            t AS (
+              SELECT
+                sum(CASE WHEN variant = 0 THEN n_conv END)::BIGINT AS a,
+                sum(CASE WHEN variant = 0 THEN n_users - n_conv END)::BIGINT AS b,
+                sum(CASE WHEN variant = 1 THEN n_conv END)::BIGINT AS c,
+                sum(CASE WHEN variant = 1 THEN n_users - n_conv END)::BIGINT AS d
+              FROM cells
+            )
+            SELECT a, b, c, d, (a + b + c + d)::BIGINT AS n,
+                   (CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0
+                         THEN (1000 * (a + b + c + d) * (a * d - b * c)
+                               * (a * d - b * c))
+                              // ((a + b) * (c + d) * (a + c) * (b + d))
+                         ELSE NULL END)::BIGINT AS chi2_milli,
+                   coalesce(
+                     CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) > 0
+                          THEN (1000 * (a + b + c + d) * (a * d - b * c)
+                                * (a * d - b * c))
+                               // ((a + b) * (c + d) * (a + c) * (b + d))
+                          ELSE NULL END > 3841, FALSE) AS significant
+            FROM t
         """,
         "q_span_dedup": f"""
             WITH planted AS (
