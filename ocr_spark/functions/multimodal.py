@@ -444,6 +444,10 @@ def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
             return _decode_ppm(payload)
         if payload[:8] == _PNG_MAGIC:
             return _decode_png(payload)
+        if payload[:4] == b"GIF8":
+            from ocr_spark.functions.gif import decode_gif
+
+            return decode_gif(payload)
         if payload[:3] == b"\xff\xd8\xff":
             from ocr_spark.functions.jpeg import decode_baseline
 
@@ -597,6 +601,81 @@ def decode_pngs_real(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows).astype("int64")
 
     return pruned.mapInPandas(gen, schema=IMAGE_DECODE_SCHEMA_DDL)
+
+
+GIF_DECODE_SCHEMA_DDL = (
+    "doc_id bigint, width bigint, height bigint, n_px bigint, "
+    "px_sum bigint, pos_sum bigint"
+)
+
+_GIF_PALETTE = None
+
+
+def _gif_palette() -> np.ndarray:
+    global _GIF_PALETTE
+    if _GIF_PALETTE is None:
+        _GIF_PALETTE = (
+            np.arange(64, dtype=np.uint8)[:, None].repeat(3, 1) * 4
+        )
+    return _GIF_PALETTE
+
+
+def synthesize_gif_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic GIF fixture per doc_id: w = 8 + doc_id % 16,
+    h = 4 + doc_id % 8, 64-entry grayscale palette (4i,4i,4i), pixel
+    index (base + x + 7*y) % 64 with base = doc_id % 64 — the 7*y term
+    makes rows DIFFER so the position-weighted sum catches interlace
+    reordering bugs.  Odd doc_ids are written INTERLACED; doc_id % 3
+    == 0 uses a 128-entry dictionary cap so the LZW clear-code reset
+    path runs on a third of the corpus."""
+    payloads = []
+    from ocr_spark.functions.gif import encode_gif
+
+    pal = _gif_palette()
+    for doc_id in pdf["doc_id"]:
+        d = int(doc_id)
+        w = 8 + d % 16
+        h = 4 + d % 8
+        base = d % 64
+        idx = ((base + np.arange(w)[None, :] + 7 * np.arange(h)[:, None])
+               % 64).astype(np.uint8)
+        payloads.append(
+            encode_gif(idx, pal, interlace=bool(d % 2),
+                       dict_cap=128 if d % 3 == 0 else 4096)
+        )
+    return pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                         "payload": payloads})
+
+
+def decode_gifs_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL GIF decode (LZW + interlace twin of
+    decode_pngs_real): synthesize the gradient GIF per doc_id inside
+    mapInPandas, decode via the pure-Python LZW codec, emit measured
+    geometry + plain and position-weighted pixel sums (the weighted sum
+    is row-order-sensitive, so a deinterlace bug cannot hash-match).
+    Narrow op."""
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            withp = synthesize_gif_payloads(pdf)
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "n_px", "px_sum",
+                     "pos_sum")}
+            for doc_id, payload in zip(withp["doc_id"], withp["payload"]):
+                arr = decode_media_real(payload, "image")
+                h, w, _ = arr.shape
+                weights = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                px = arr.astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(w * h)
+                rows["px_sum"].append(int(px.sum()))
+                rows["pos_sum"].append(int((px.sum(axis=2) * weights).sum()))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return pruned.mapInPandas(gen, schema=GIF_DECODE_SCHEMA_DDL)
 
 
 def synthesize_jpeg_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
