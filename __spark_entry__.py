@@ -674,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_profile": _q_table_profile,
         "q_trend_slope": _q_trend_slope,
         "q_ab_chisq": _q_ab_chisq,
+        "q_bm25_topk": _q_bm25_topk,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -914,6 +915,82 @@ def _q_tfidf_top_terms(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(win))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "w", "score_fp", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# BM25 retrieval (P61): the ranking side of the search stack (P31
+# builds the index; this scores it).  Okapi BM25 with k1=1.2, b=0.75 in
+# a LOG-FREE rational form: the idf log's argument is kept as an
+# integer milli-ratio idf_x1000 = 1000*(2N-2df+1) div (2df+1), and the
+# tf normalization is cross-multiplied exact — per-term score =
+# idf_x1000 * 22*S*tf div (10*S*tf + 3*S + 9*dl*N), derived from
+# tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with avgdl = S/N multiplied
+# through (so avgdl is never rounded).  Monotonicity in tf/df/dl
+# matches true BM25; the log is dropped because no float libm call may
+# sit between two engines that must hash-match (house rule since the
+# round-2 ANN literals).  The query is self-contained: the 3 most
+# frequent content words of the corpus itself (ties lexicographic).
+# Scale shape: word table materialized ONCE; query-term and df tables
+# broadcast; the top-10 is a distributed TakeOrderedAndProject, never a
+# single-partition window over matched docs.  int64 headroom to ~1e9
+# total words; past that the products move to decimal (P55 note).
+def _q_bm25_topk(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    words = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ")
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .localCheckpoint(eager=False)
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    totals = dl.agg(
+        F.sum("dl").cast("long").alias("s_total"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    qterms = (
+        words.filter(F.length("w") >= 4)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(3)
+        .select("w")
+    )
+    tf = (
+        words.join(F.broadcast(qterms), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_term = (
+        tf.join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                "((1000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1))"
+                " * (22 * s_total * tf)"
+                " div (10 * s_total * tf + 3 * s_total + 9 * dl * n_docs)"
+            ).alias("term_score"),
+        )
+    )
+    top = (
+        per_term.groupBy("doc_id")
+        .agg(F.sum("term_score").cast("long").alias("score_fp"))
+        .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    win = Window.orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", "score_fp",
+        F.row_number().over(win).cast("long").alias("rnk"),
     )
 
 
@@ -4438,6 +4515,46 @@ def oracle_sql() -> dict[str, str]:
                                                  tf.w ASC) AS rnk
               FROM tf JOIN df ON tf.w = df.w
             ) WHERE rnk <= 3
+        """,
+        "q_bm25_topk": """
+            WITH allw AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(
+                       lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                       ' +', ' ', 'g')), ' ')) AS w
+              FROM documents
+            ),
+            words AS (SELECT doc_id, w FROM allw WHERE length(w) > 0),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM words GROUP BY 1),
+            t AS (SELECT sum(dl)::BIGINT AS s_total,
+                         count(*)::BIGINT AS n_docs FROM dl),
+            q AS (
+              SELECT w FROM words WHERE length(w) >= 4
+              GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT 3
+            ),
+            tf AS (
+              SELECT doc_id, words.w, count(*)::BIGINT AS tf
+              FROM words JOIN q ON words.w = q.w GROUP BY 1, 2
+            ),
+            dfq AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            per_term AS (
+              SELECT tf.doc_id,
+                     ((1000 * (2 * t.n_docs - 2 * dfq.df + 1))
+                      // (2 * dfq.df + 1))
+                     * (22 * t.s_total * tf.tf)
+                     // (10 * t.s_total * tf.tf + 3 * t.s_total
+                         + 9 * dl.dl * t.n_docs) AS term_score
+              FROM tf JOIN dfq ON tf.w = dfq.w
+                   JOIN dl ON tf.doc_id = dl.doc_id, t
+            )
+            SELECT doc_id, score_fp,
+                   row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
+                     ::BIGINT AS rnk
+            FROM (
+              SELECT doc_id, sum(term_score)::BIGINT AS score_fp
+              FROM per_term GROUP BY 1
+              ORDER BY score_fp DESC, doc_id ASC LIMIT 10
+            )
         """,
         "q_inverted_index": f"""
             WITH pairs AS (

@@ -362,3 +362,14 @@ def test_pareto_local_prune_before_global_window(spark):
     single-partition sort sees every distinct point."""
     plan = _plan(entry._q_pareto_frontier(spark, SF))
     assert plan.count("Window") >= 2, plan
+
+
+def test_bm25_distributed_topk_and_broadcasts(spark):
+    """P61: the top-10 must be a distributed TakeOrderedAndProject (never
+    a single-partition window over matched docs), the query-term and df
+    tables must broadcast, and the word table is materialized once."""
+    plan = _plan(entry._q_bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, plan
