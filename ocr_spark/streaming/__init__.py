@@ -15,6 +15,7 @@ from ocr_spark.streaming.neardup import (  # noqa: F401
 )
 from ocr_spark.streaming.sketch import (  # noqa: F401
     hll_estimate,
+    run_countmin_cell_stream,
     run_hll_register_stream,
 )
 from ocr_spark.streaming.sessionize import (  # noqa: F401

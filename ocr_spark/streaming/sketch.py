@@ -132,3 +132,97 @@ def run_hll_register_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min (P62) — the continuous twin of the batch frequency
+# sketch (P21, `__spark_entry__._q_countmin_sketch`).
+# ---------------------------------------------------------------------------
+#
+# Count-Min cells merge by SUM, so — like the HLL registers above — the
+# streaming twin is a NATIVE watermarked aggregate, no custom state
+# operator: words -> (window, row_id, col_id) -> count(*).  Append mode
+# emits each closed window's 4x256 cell table exactly once.  One honest
+# contrast with HLL: sum-merge is associative/commutative but NOT
+# idempotent, so replay safety comes from the file sink's transaction
+# log alone (the HLL stream is additionally immune at the algebra
+# level).  State bound: at most 4*256 longs per (open window) horizon —
+# fixed, independent of vocabulary or stream length; that fixed bound
+# is exactly why a sketch (not an exact word count) is the streaming
+# frequency summary at 100 TB.
+
+CM_ROWS = 4                             # mirrors __spark_entry__._CM_ROWS
+CM_COLS = 256                           # mirrors __spark_entry__._CM_COLS
+
+
+def cm_cell_columns(df: DataFrame) -> DataFrame:
+    """(text, ts) -> one row per (word occurrence x sketch row) with its
+    (row_id, col_id) cell coordinates.  Stateless; identical expressions
+    to the batch sketch so stream and batch cells compare value-exact."""
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    words = df.select(
+        "ts",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ")
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    cell = lambda r: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), F.col("w"))), 1, 15),
+            16, 10,
+        ).cast("long") % F.lit(CM_COLS)
+    )
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("long").alias("row_id"), cell(r).alias("col_id"))
+        for r in range(CM_ROWS)
+    ])
+    return words.select("ts", F.explode(cells).alias("c")).select(
+        "ts", "c.row_id", "c.col_id"
+    )
+
+
+def run_countmin_cell_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    watermark: str = "30 minutes",
+    window: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous per-(event-time window) Count-Min cell stream over
+    arriving document files.  Emits each closed window's cell table
+    exactly once (append mode); windows union by summing cnt."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger <= 0:
+            raise ValueError(
+                f"max_files_per_trigger must be positive, got {max_files_per_trigger}"
+            )
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_path)
+
+    cells = (
+        cm_cell_columns(docs)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("row_id"), F.col("col_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "row_id",
+            "col_id",
+            "cnt",
+        )
+    )
+
+    writer = (
+        cells.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -676,3 +676,51 @@ def test_stream_sessionize_gap_split_and_timeout(spark, dirs):
     a2 = out[(out.conv_id == "conv-a") & (out.sess_idx == 2)].iloc[0]
     assert int(a2.start_ms) == base_ms + 50 * 60_000
     assert int(a2.end_ms) == base_ms + 51 * 60_000
+
+
+def test_stream_countmin_cells_parity_with_batch(spark, dirs):
+    """Streaming Count-Min (P21 twin): the watermark-closed window's cell
+    table must equal the batch sketch over the same rows value-for-value
+    (sum-merge is exact, not approximate, per cell), and no open window
+    may emit early."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.streaming.sketch import (
+        DOCS_STREAM_SCHEMA,
+        cm_cell_columns,
+        run_countmin_cell_stream,
+    )
+
+    inp, outp, ckpt = dirs
+
+    def write_docs(pdf):
+        spark.createDataFrame(pdf, DOCS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def drain():
+        q = run_countmin_cell_stream(spark, inp, outp, ckpt, available_now=True)
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    docs0 = _mk_docs([0], n_per_hour=60)
+    write_docs(docs0)
+    drain()
+    write_docs(_mk_docs([3], n_per_hour=5))     # advances watermark past hour 0
+    drain()
+
+    cells = spark.read.parquet(outp)
+    closed = cells.filter(F.hour("window_start") == 0)
+    assert cells.filter(F.hour("window_start") == 3).count() == 0
+
+    batch = (
+        cm_cell_columns(spark.createDataFrame(docs0, DOCS_STREAM_SCHEMA))
+        .groupBy("row_id", "col_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    got = {(r.row_id, r.col_id): r.cnt for r in closed.collect()}
+    want = {(r.row_id, r.col_id): r.cnt for r in batch.collect()}
+    assert got == want and len(want) > 0
+    # the sketch keeps its fixed footprint: 4 rows, <= 256 cols each
+    assert closed.select("row_id").distinct().count() == 4
+    assert closed.groupBy("row_id").count().agg(F.max("count")).first()[0] <= 256
