@@ -246,9 +246,29 @@ def main() -> None:
                            "BENCH_local.json"), "w") as f:
         json.dump(full, f, indent=1)
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1950:  # belt-and-braces: drop precision, then queries
+    if len(line) > 1950:  # drop precision first
         out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
         line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1950:
+        # the full map no longer fits the driver's 2000-byte stdout
+        # window (92+ queries): keep the SLOWEST queries while the line
+        # fits, record how many were elided; the complete map is always
+        # in BENCH_local.json
+        ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+        kept: dict = {}
+        out["queries_elided"] = len(ranked)
+        out["queries_full"] = "BENCH_local.json"
+        for k, v in ranked:
+            trial = dict(out)
+            trial["queries"] = {**kept, k: v}
+            trial["queries_elided"] = len(ranked) - len(trial["queries"])
+            cand = json.dumps(trial, separators=(",", ":"))
+            if len(cand) > 1950:
+                break
+            kept[k] = v
+            line = cand
+            out["queries_elided"] = len(ranked) - len(kept)
+        out["queries"] = kept
     print(json.dumps(full, indent=1), file=sys.stderr)
     os.write(real_stdout_fd, (line + "\n").encode())
 
