@@ -675,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trend_slope": _q_trend_slope,
         "q_ab_chisq": _q_ab_chisq,
         "q_bm25_topk": _q_bm25_topk,
+        "q_kcore": _q_kcore,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -1789,6 +1790,95 @@ def _q_pagerank(spark, sf_dir):
             ).cast("long").alias("r"),
         )
     return ranks.select("id", F.col("r").alias("rank"))
+
+
+# k-core decomposition (P63): the graph-robustness peel — repeatedly
+# drop nodes with degree < k until every survivor has >= k surviving
+# neighbors (community cores, spam-farm pruning, the densest-region
+# prefilter before expensive graph algorithms).  Same deterministic
+# quadratic link graph as PageRank (P39), SYMMETRIZED (k-core is an
+# undirected notion) and de-self-looped.  Both engines run the same
+# FIXED number of peel rounds, so the oracle can be plain unrolled SQL
+# (no recursion, no engine-specific fixpoint semantics); actual
+# convergence within those rounds is pinned separately by
+# tests/test_graph.py, which runs an extra round at sf0.001 and asserts
+# no further change.  Scale shape: each round is one degree hash-agg +
+# two semi-joins against the (shrinking) survivor set; the edge table
+# is lineage-truncated per round via localCheckpoint exactly like the
+# P19 label tables — round plans stay constant-size.
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_edges(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    raw = nodes.select(
+        F.col("id").alias("u"),
+        F.explode(
+            F.array(
+                (F.col("id") * F.col("id") + 1) % F.lit(n),
+                F.expr("id div 2"),
+            )
+        ).alias("v"),
+    )
+    return (
+        raw.select("u", "v")
+        .unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def _kcore_peel(edges, rounds: int):
+    for _ in range(rounds):
+        alive = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("u")
+        )
+        edges = (
+            edges.join(alive, "u")
+            .join(alive.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return edges
+
+
+def _q_kcore(spark, sf_dir):
+    edges = _kcore_peel(_kcore_edges(spark, sf_dir), _KCORE_ROUNDS)
+    return edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
+
+
+def _sql_kcore_rounds(rounds: int) -> str:
+    parts = [
+        "WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),",
+        "nodes AS (SELECT doc_id AS id FROM documents),",
+        "raw AS (SELECT id AS u, (id * id + 1) % nn.n AS v FROM nodes, nn"
+        " UNION ALL SELECT id, id // 2 FROM nodes, nn),",
+        "e0 AS (SELECT DISTINCT u, v FROM"
+        " (SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw)"
+        " WHERE u != v)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", a{r} AS (SELECT u FROM e{r-1} GROUP BY u"
+            f" HAVING count(*) >= {_KCORE_K})"
+            f", e{r} AS (SELECT e.u, e.v FROM e{r-1} e"
+            f" JOIN a{r} x ON e.u = x.u JOIN a{r} y ON e.v = y.u)"
+        )
+    parts.append(
+        f"SELECT u AS node, count(*)::BIGINT AS core_deg"
+        f" FROM e{rounds} GROUP BY 1"
+    )
+    return "\n".join(parts)
 
 
 # Fuzzy record-linkage join (P38): entity resolution by BLOCKING +
@@ -4975,6 +5065,7 @@ def oracle_sql() -> dict[str, str]:
                      AS kept_words
             FROM words w LEFT JOIN per_doc p ON w.doc_id = p.doc_id
         """,
+        "q_kcore": _sql_kcore_rounds(_KCORE_ROUNDS),
         "q_pagerank": """
             WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
             nodes AS (SELECT doc_id AS id FROM documents),

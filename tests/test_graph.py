@@ -61,3 +61,25 @@ def test_max_rounds_guard(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     with pytest.raises(RuntimeError, match="exceeded"):
         connected_components(pairs, max_rounds=0)
+
+
+def test_kcore_converges_within_fixed_rounds(spark):
+    """P63: both engines run a FIXED 4 peel rounds; this pins that the
+    fixture graph actually reaches its k-core fixpoint inside them — an
+    extra round must change nothing (at sf0.001 and sf0.01 the doc
+    graphs are 500 nodes; sf0.1 is covered by the oracle equality, which
+    would diverge if rounds were insufficient only if engines differed —
+    so the fixpoint claim itself is pinned here)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    e4 = entry._kcore_peel(entry._kcore_edges(spark, sf), entry._KCORE_ROUNDS)
+    e5 = entry._kcore_peel(e4, 1)
+    got4 = sorted((r.u, r.v) for r in e4.collect())
+    got5 = sorted((r.u, r.v) for r in e5.collect())
+    assert got4 == got5 and len(got4) > 0
+    # every survivor really has >= k surviving neighbors
+    from collections import Counter
+
+    deg = Counter(u for u, _ in got4)
+    assert min(deg.values()) >= entry._KCORE_K

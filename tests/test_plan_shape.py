@@ -373,3 +373,25 @@ def test_bm25_distributed_topk_and_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """SURVEY §4.2 claims partition pruning comes free from declarative
+    plans — pin it: a filter on the partition column of a
+    partitioned-parquet layout must appear as a PartitionFilter (scan
+    reads one partition), not a post-scan Filter over all of them."""
+    p = str(tmp_path / "events_parted")
+    spark.read.parquet(SF + "/events.parquet").write.partitionBy(
+        "event_type"
+    ).parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .filter("event_type = 'purchase'")
+        .groupBy("event_type")
+        .count()
+    )
+    plan = _plan(df)
+    [scan_line] = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf, plan
