@@ -10,6 +10,9 @@ from ocr_spark.streaming.extract_stream import (  # noqa: F401
     run_turn_rate_stream,
     stream_transcripts,
 )
+from ocr_spark.streaming.funnel import (  # noqa: F401
+    run_funnel_stream,
+)
 from ocr_spark.streaming.neardup import (  # noqa: F401
     run_minhash_neardup_stream,
 )

@@ -724,3 +724,66 @@ def test_stream_countmin_cells_parity_with_batch(spark, dirs):
     # the sketch keeps its fixed footprint: 4 rows, <= 256 cols each
     assert closed.select("row_id").distinct().count() == 4
     assert closed.groupBy("row_id").count().agg(F.max("count")).first()[0] <= 256
+
+
+def test_stream_funnel_stages_on_timeout(spark, dirs):
+    """P64 (streaming twin of batch P23): per-user events accumulate in
+    state and the batch funnel rule runs when the watermark passes the
+    idle horizon — accumulate-then-evaluate makes out-of-order arrivals
+    (the purchase delivered BEFORE its click) land exactly like batch."""
+    import datetime as dt
+
+    from ocr_spark.streaming.funnel import (
+        EVENTS_STREAM_SCHEMA,
+        run_funnel_stream,
+    )
+
+    inp, outp, ckpt = dirs
+
+    def write_events(rows):
+        pdf = pd.DataFrame(
+            [
+                {
+                    "event_id": i,
+                    "ts": dt.datetime(2024, 1, 1, m // 60, m % 60, 0),
+                    "user_id": u,
+                    "event_type": k,
+                }
+                for i, (u, m, k) in enumerate(rows)
+            ]
+        )
+        spark.createDataFrame(pdf, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def drain():
+        q = run_funnel_stream(spark, inp, outp, ckpt, available_now=True)
+        q.awaitTermination(300)
+        assert not q.isActive
+
+    # batch 1: user 1's rows arrive DISORDERED within the batch (purchase
+    # listed first — the handler evaluates on sorted event time, not
+    # arrival order); user 2's view; user 3 no view; user 4 view-only
+    write_events([(1, 75, "purchase"), (1, 0, "view"), (1, 30, "click"),
+                  (2, 0, "view"), (3, 10, "click"), (4, 5, "view")])
+    drain()
+    # batch 2, inside the watermark horizon: user 2's too-late click
+    # (1:30 > view + 1 h, but well above the 0:45 watermark)
+    write_events([(2, 90, "click")])
+    drain()
+    assert not os.path.exists(outp) or spark.read.parquet(outp).count() == 0
+
+    # hour-6 activity on another user pushes the watermark past everyone
+    write_events([(99, 360, "view")])
+    drain()
+    out = spark.read.parquet(outp).toPandas().set_index("user_id")
+    base_us = int(dt.datetime(2024, 1, 1).timestamp() * 1_000_000)
+    # user 1: view@0:00 -> click@0:30 (<=1h) -> purchase@1:15 (<=1h of click)
+    assert int(out.loc[1].stage) == 3
+    assert int(out.loc[1].t_view_us) == base_us
+    # user 2: click at 1:30 misses the 1-hour window -> stage 1
+    assert int(out.loc[2].stage) == 1
+    # user 3: no view -> no row;  user 4: view-only -> stage 1
+    assert 3 not in out.index
+    assert int(out.loc[4].stage) == 1
+    assert set(out.index) == {1, 2, 4}
