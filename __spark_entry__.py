@@ -676,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ab_chisq": _q_ab_chisq,
         "q_bm25_topk": _q_bm25_topk,
         "q_kcore": _q_kcore,
+        "q_set_ops": _q_set_ops,
+        "q_gap_fill": _q_gap_fill,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
         "q_ngram_jaccard": _q_ngram_jaccard,
@@ -1578,6 +1580,81 @@ def _q_trend_slope(spark, sf_dir):
                 " div (n_weeks * sxx - sx * sx)"
             ),
         ).cast("long").alias("slope_ppm"),
+    )
+
+
+# Set operations (P65): INTERSECT / EXCEPT as first-class relational
+# operators (the §2.7 inventory previously exercised only union and
+# anti-join).  Source sets of two language slices are compared with the
+# native DataFrame set ops (intersect / subtract — both DISTINCT
+# semantics, matching SQL INTERSECT/EXCEPT), results folded to one row
+# per operation with a sorted member list so both engines compare
+# scalars.  Scale shape: set ops hash-partition on the full row — the
+# inputs here are distinct-projected first, so the shuffled sets are
+# vocabulary-sized, never corpus-sized.
+def _q_set_ops(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("lang") == "en").select("source").distinct()
+    b = d.filter(F.col("lang") == "fr").select("source").distinct()
+
+    def fold(df, op):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.coalesce(
+                F.concat_ws(",", F.array_sort(F.collect_list("source"))),
+                F.lit(""),
+            ).alias("src_list"),
+        ).select(F.lit(op).alias("op"), "n_sources", "src_list")
+
+    return (
+        fold(a.intersect(b), "intersect")
+        .unionByName(fold(a.subtract(b), "except_en"))
+        .unionByName(fold(b.subtract(a), "except_fr"))
+    )
+
+
+# Time-series gap fill (P66): the LOCF (last-observation-carried-
+# forward) backfill every sensor/metrics pipeline runs — build each
+# user's dense hourly grid between their first and last event
+# (sequence() explode, no driver work), left-join the sparse hourly
+# aggregate, and forward-fill the value with last(ignorenulls) over the
+# per-user hour order.  Gap hours report n_events = 0, is_gap = true,
+# and the carried value.  Scale shape: the grid explode is linear in
+# (users x span), the join is co-partitioned on (user_id, h), and the
+# LOCF window reuses the same user partitioning; values fixed-pointed
+# per row.  The oracle builds the same grid via a bounded range join
+# (spans here are <= 720 h; the 1000-row bound fails LOUDLY via row
+# counts if the corpus ever widens).
+_HOUR_US = 3_600_000_000
+
+
+def _q_gap_fill(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    h = F.expr(f"unix_micros(cast(ts as timestamp)) div {_HOUR_US}")
+    hourly = ev.groupBy("user_id", h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("v_fp"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1)")).alias("h")
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "h",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("v_fp", ignorenulls=True).over(w).cast("long").alias("locf_fp"),
+        F.col("v_fp").isNull().alias("is_gap"),
     )
 
 
@@ -4964,6 +5041,53 @@ def oracle_sql() -> dict[str, str]:
                               // (n_weeks * sxx - sx * sx))::BIGINT
                         ELSE NULL END AS slope_ppm
             FROM a
+        """,
+        "q_set_ops": """
+            WITH a AS (SELECT DISTINCT source FROM documents
+                       WHERE lang = 'en'),
+            b AS (SELECT DISTINCT source FROM documents WHERE lang = 'fr'),
+            i AS (SELECT source FROM a INTERSECT SELECT source FROM b),
+            ea AS (SELECT source FROM a EXCEPT SELECT source FROM b),
+            eb AS (SELECT source FROM b EXCEPT SELECT source FROM a)
+            SELECT 'intersect' AS op, count(source)::BIGINT AS n_sources,
+                   coalesce(string_agg(source, ',' ORDER BY source), '')
+                     AS src_list FROM i
+            UNION ALL
+            SELECT 'except_en', count(source)::BIGINT,
+                   coalesce(string_agg(source, ',' ORDER BY source), '')
+            FROM ea
+            UNION ALL
+            SELECT 'except_fr', count(source)::BIGINT,
+                   coalesce(string_agg(source, ',' ORDER BY source), '')
+            FROM eb
+        """,
+        "q_gap_fill": f"""
+            WITH hourly AS (
+              SELECT user_id, epoch_us(ts) // {_HOUR_US} AS h,
+                     count(*)::BIGINT AS n_events,
+                     sum(floor(value * 100)::BIGINT)::BIGINT AS v_fp
+              FROM events GROUP BY 1, 2
+            ),
+            bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                       FROM hourly GROUP BY 1),
+            hrs AS (SELECT r FROM range(0, 1000) t(r)),
+            grid AS (
+              SELECT b.user_id, b.h0 + hrs.r AS h
+              FROM bounds b JOIN hrs ON hrs.r <= b.h1 - b.h0
+            ),
+            j AS (
+              SELECT g.user_id, g.h, hourly.n_events, hourly.v_fp
+              FROM grid g LEFT JOIN hourly
+                ON g.user_id = hourly.user_id AND g.h = hourly.h
+            )
+            SELECT user_id, h,
+                   coalesce(n_events, 0)::BIGINT AS n_events,
+                   last_value(v_fp IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS locf_fp,
+                   v_fp IS NULL AS is_gap
+            FROM j
         """,
         "q_ab_chisq": """
             WITH conv AS (
