@@ -356,3 +356,32 @@ def test_reference_image_full_decode():
     # handwriting on paper: mostly bright background, real dark strokes
     assert (gray > 180).mean() > 0.5
     assert (gray < 80).mean() > 0.05
+
+
+def test_reference_progressive_images_interop():
+    """The reference repo's OTHER two checked-in photos (test_image2.jpg,
+    testimage.jpg) are PROGRESSIVE JPEGs (SOF2) — real-world multi-scan
+    streams with camera-export Huffman tables and successive
+    approximation, not our fixtures.  The round-4 progressive decoder
+    must decode them; geometry and exact channel sums are pinned (the
+    decoder is deterministic, so any entropy/refinement regression moves
+    these integers).  testimage.jpg (same codec path) is gated behind
+    OCR_SPARK_SLOW=1 to keep the default suite fast."""
+    import os
+
+    import numpy as np
+
+    from ocr_spark.functions.jpeg import decode_baseline
+
+    b = open("/root/reference/test_image2.jpg", "rb").read()
+    assert b[2:4] != b"\xff\xc0"  # really not baseline
+    arr = decode_baseline(b).astype(np.int64)
+    assert arr.shape == (2560, 1440, 3)
+    assert [int(arr[:, :, c].sum()) for c in range(3)] == [
+        428279233, 406894227, 402871374]
+    assert arr[1280, 720].tolist() == [150, 143, 139]
+    if os.environ.get("OCR_SPARK_SLOW") == "1":
+        arr2 = decode_baseline(
+            open("/root/reference/testimage.jpg", "rb").read()
+        )
+        assert arr2.shape == (2560, 1440, 3)
