@@ -677,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": _q_bm25_topk,
         "q_kcore": _q_kcore,
         "q_set_ops": _q_set_ops,
+        "q_kmv_sketch": _q_kmv_sketch,
         "q_gap_fill": _q_gap_fill,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
@@ -1580,6 +1581,109 @@ def _q_trend_slope(spark, sf_dir):
                 " div (n_weeks * sxx - sx * sx)"
             ),
         ).cast("long").alias("slope_ppm"),
+    )
+
+
+# KMV intersection sketch (P67): K-minimum-values sketches (Bar-Yossef
+# et al. 2002 / Beyer et al. 2007) over the en/fr vocabularies — the
+# sketch class that estimates SET INTERSECTIONS, which the HLL (P29)
+# cannot: keep the K smallest 40-bit hash values per set; |S| is
+# estimated by (K-1)*M div h_K, the union sketch is the K smallest of
+# the merged sketches, and |A∩B| ≈ (rho div K) * |A∪B| where rho counts
+# union-sketch members present in BOTH input sketches.  Hashes are
+# 40-bit md5 prefixes so (K-1)*M stays inside int64 and both engines
+# compute bit-identical sketches — the estimates themselves are
+# therefore deterministic integers, oracle-hashable like everything
+# else.  Exact distinct counts ride beside the estimates so the output
+# exhibits sketch quality.  Scale shape: one corpus scan (word table
+# materialized once), per-set top-K windows over DISTINCT hash values
+# (vocabulary-sized, never corpus-sized), then all arithmetic on <=
+# 3K rows; sketches are mergeable summaries like P21/P28/P29.
+_KMV_K = 64
+_KMV_M = 1 << 40
+
+
+def _q_kmv_sketch(spark, sf_dir):
+    d = _docs_wide(spark, sf_dir)
+    canon = F.lower(F.trim(F.regexp_replace(F.col("text"), r"[^A-Za-z ]", " ")))
+    # element = word BIGRAM: the synthetic corpus has a ~30-word unigram
+    # vocabulary per language (too small for K=64 sketches to mean
+    # anything); bigrams give ~900 distinct elements per set
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    words = (
+        d.filter(F.col("lang").isin("en", "fr"))
+        .select(
+            "lang",
+            F.split(F.trim(F.regexp_replace(canon, r" +", " ")), " ").alias("ws"),
+        )
+        .select("lang", F.explode(bigrams).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("w"))), 1, 10), 16, 10
+    ).cast("long")
+    hashes = words.select("lang", h.alias("h")).distinct()
+    wk = Window.partitionBy("lang").orderBy("h")
+    sk = (
+        hashes.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("lang", "h")
+        .localCheckpoint(eager=False)
+    )
+    a = sk.filter(F.col("lang") == "en").select("h")
+    b = sk.filter(F.col("lang") == "fr").select("h")
+    wu = Window.orderBy("h")
+    union_k = (
+        a.unionByName(b).distinct()
+        .withColumn("rk", F.row_number().over(wu))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("h")
+    )
+    rho_df = (
+        union_k.join(a, "h").join(b, "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("rho"))
+    )
+    est = lambda hk: F.expr(f"({_KMV_K - 1} * cast({_KMV_M} as bigint)) div {hk}")
+    tops = (
+        a.agg(F.max("h").alias("hk_a"))
+        .crossJoin(b.agg(F.max("h").alias("hk_b")))
+        .crossJoin(union_k.agg(F.max("h").alias("hk_u")))
+        .crossJoin(rho_df)
+    )
+    exact = (
+        words.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy()
+        .pivot("lang", ["en", "fr"])
+        .sum("n")
+        .withColumnRenamed("en", "exact_a")
+        .withColumnRenamed("fr", "exact_b")
+    )
+    exact_i = (
+        words.filter(F.col("lang") == "en").select("w")
+        .join(words.filter(F.col("lang") == "fr").select("w"), "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    return (
+        tops.crossJoin(exact).crossJoin(exact_i)
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            est("hk_a").cast("long").alias("est_a"),
+            est("hk_b").cast("long").alias("est_b"),
+            est("hk_u").cast("long").alias("est_union"),
+            "rho",
+            F.expr(
+                f"(rho * (({_KMV_K - 1} * cast({_KMV_M} as bigint))"
+                f" div hk_u)) div {_KMV_K}"
+            ).cast("long").alias("est_intersect"),
+            F.col("exact_a").cast("long").alias("exact_a"),
+            F.col("exact_b").cast("long").alias("exact_b"),
+            "exact_intersect",
+        )
     )
 
 
@@ -5041,6 +5145,71 @@ def oracle_sql() -> dict[str, str]:
                               // (n_weeks * sxx - sx * sx))::BIGINT
                         ELSE NULL END AS slope_ppm
             FROM a
+        """,
+        "q_kmv_sketch": f"""
+            WITH ws_t AS (
+              SELECT lang,
+                     string_split(trim(regexp_replace(
+                       lower(trim(regexp_replace(text, '[^A-Za-z ]', ' ', 'g'))),
+                       ' +', ' ', 'g')), ' ') AS ws
+              FROM documents WHERE lang IN ('en', 'fr')
+            ),
+            words AS (
+              SELECT DISTINCT lang, w FROM (
+                SELECT lang,
+                       unnest([ws[i] || ' ' || ws[i + 1]
+                               for i in range(1, greatest(len(ws), 1))]) AS w
+                FROM ws_t
+              )
+            ),
+            hashes AS (
+              SELECT DISTINCT lang,
+                     ('0x' || substr(md5('kmv:' || w), 1, 10))::BIGINT AS h
+              FROM words
+            ),
+            sk AS (
+              SELECT lang, h FROM (
+                SELECT lang, h,
+                       row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+                FROM hashes
+              ) WHERE rk <= {_KMV_K}
+            ),
+            a AS (SELECT h FROM sk WHERE lang = 'en'),
+            b AS (SELECT h FROM sk WHERE lang = 'fr'),
+            u AS (
+              SELECT h FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS rk
+                FROM (SELECT h FROM a UNION SELECT h FROM b)
+              ) WHERE rk <= {_KMV_K}
+            ),
+            rho_t AS (
+              SELECT count(*)::BIGINT AS rho
+              FROM u JOIN a ON u.h = a.h JOIN b ON u.h = b.h
+            ),
+            tops AS (
+              SELECT (SELECT max(h) FROM a) AS hk_a,
+                     (SELECT max(h) FROM b) AS hk_b,
+                     (SELECT max(h) FROM u) AS hk_u
+            ),
+            ex AS (
+              SELECT
+                (SELECT count(*) FROM words WHERE lang = 'en')::BIGINT AS exact_a,
+                (SELECT count(*) FROM words WHERE lang = 'fr')::BIGINT AS exact_b,
+                (SELECT count(*) FROM
+                  (SELECT w FROM words WHERE lang = 'en')
+                  JOIN (SELECT w FROM words WHERE lang = 'fr') USING (w)
+                )::BIGINT AS exact_intersect
+            )
+            SELECT {_KMV_K}::BIGINT AS k,
+                   (({_KMV_K - 1} * {_KMV_M}::BIGINT) // hk_a)::BIGINT AS est_a,
+                   (({_KMV_K - 1} * {_KMV_M}::BIGINT) // hk_b)::BIGINT AS est_b,
+                   (({_KMV_K - 1} * {_KMV_M}::BIGINT) // hk_u)::BIGINT
+                     AS est_union,
+                   rho,
+                   ((rho * (({_KMV_K - 1} * {_KMV_M}::BIGINT) // hk_u))
+                    // {_KMV_K})::BIGINT AS est_intersect,
+                   exact_a, exact_b, exact_intersect
+            FROM tops, rho_t, ex
         """,
         "q_set_ops": """
             WITH a AS (SELECT DISTINCT source FROM documents
