@@ -678,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": _q_kcore,
         "q_set_ops": _q_set_ops,
         "q_kmv_sketch": _q_kmv_sketch,
+        "q_priority_sample": _q_priority_sample,
         "q_gap_fill": _q_gap_fill,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
@@ -1683,6 +1684,58 @@ def _q_kmv_sketch(spark, sf_dir):
             F.col("exact_a").cast("long").alias("exact_a"),
             F.col("exact_b").cast("long").alias("exact_b"),
             "exact_intersect",
+        )
+    )
+
+
+# Priority sampling (P68): weighted sampling without replacement
+# (Duffield-Lund-Thorup 2007) with a DETERMINISTIC integer priority —
+# u = 40-bit md5 of the doc id, priority = u*1e6 div weight (weight =
+# n_chars), keep the k SMALLEST priorities (equivalent to largest w/u).
+# The (k+1)-th priority is the Horvitz-Thompson threshold tau: each
+# kept item's unbiased weight estimate is max(w, 1e12 div tau) — all
+# integer, so both engines produce the identical sample AND identical
+# HT weights (an RNG-based sampler could never be oracle-hashed).
+# Scale shape: one scan, priorities are a per-row map, both the k and
+# k+1 selections are distributed TakeOrderedAndProject — no window, no
+# single-partition sort.
+_PRIO_K = 20
+
+
+def _q_priority_sample(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("pri:"), F.col("doc_id"))), 1, 10),
+        16, 10,
+    ).cast("long")
+    pri = F.greatest(
+        F.expr("u * 1000000 div greatest(n_chars, 1)"), F.lit(1)
+    )
+    scored = d.select(
+        "doc_id", "n_chars", u.alias("u")
+    ).select("doc_id", "n_chars", pri.alias("pri")).localCheckpoint(eager=False)
+    kplus = (
+        scored.orderBy(F.col("pri").asc(), F.col("doc_id").asc())
+        .limit(_PRIO_K + 1)
+    )
+    tau = kplus.agg(F.max("pri").alias("tau"))
+    kept = (
+        scored.orderBy(F.col("pri").asc(), F.col("doc_id").asc())
+        .limit(_PRIO_K)
+    )
+    win = Window.orderBy(F.col("pri").asc(), F.col("doc_id").asc())
+    return (
+        kept.crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "n_chars",
+            "pri",
+            F.row_number().over(win).cast("long").alias("rnk"),
+            "tau",
+            F.greatest(
+                F.col("n_chars"),
+                F.expr("1000000000000 div tau"),
+            ).cast("long").alias("ht_weight"),
         )
     )
 
@@ -5145,6 +5198,26 @@ def oracle_sql() -> dict[str, str]:
                               // (n_weeks * sxx - sx * sx))::BIGINT
                         ELSE NULL END AS slope_ppm
             FROM a
+        """,
+        "q_priority_sample": f"""
+            WITH scored AS (
+              SELECT doc_id, n_chars,
+                     greatest(
+                       (('0x' || substr(md5('pri:' || doc_id::VARCHAR), 1, 10))
+                          ::BIGINT * 1000000) // greatest(n_chars, 1),
+                       1) AS pri
+              FROM documents
+            ),
+            kp AS (SELECT pri FROM scored
+                   ORDER BY pri, doc_id LIMIT {_PRIO_K + 1}),
+            tau_t AS (SELECT max(pri) AS tau FROM kp),
+            kept AS (SELECT doc_id, n_chars, pri FROM scored
+                     ORDER BY pri, doc_id LIMIT {_PRIO_K})
+            SELECT doc_id, n_chars, pri,
+                   row_number() OVER (ORDER BY pri, doc_id)::BIGINT AS rnk,
+                   tau,
+                   greatest(n_chars, 1000000000000 // tau)::BIGINT AS ht_weight
+            FROM kept, tau_t
         """,
         "q_kmv_sketch": f"""
             WITH ws_t AS (
