@@ -679,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": _q_set_ops,
         "q_kmv_sketch": _q_kmv_sketch,
         "q_priority_sample": _q_priority_sample,
+        "q_bloom_join": _q_bloom_join,
         "q_gap_fill": _q_gap_fill,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
@@ -1684,6 +1685,96 @@ def _q_kmv_sketch(spark, sf_dir):
             F.col("exact_a").cast("long").alias("exact_a"),
             F.col("exact_b").cast("long").alias("exact_b"),
             "exact_intersect",
+        )
+    )
+
+
+# Bloom semi-join reduction (P69): the 100-TB join trick P28 builds
+# toward — a selective dim-side predicate (urgent orders, ~20% of the
+# build side) becomes a 2^16-bit / 3-hash Bloom over its join keys;
+# the fact side (lineitem) is pruned MAP-SIDE against the broadcast bit
+# table BEFORE the exact join ever shuffles.  The bloom test runs per
+# DISTINCT fact key (the pass/fail verdict depends only on the key), so
+# the expensive row-level work is one distinct + one broadcast probe;
+# rows surviving the filter then join exactly, and the output exposes
+# the whole accounting — probe sizes, bloom-passing keys/rows, true
+# matches, and the FALSE-POSITIVE key count (deterministic: both
+# engines build bit-identical filters, so even the Bloom's mistakes
+# hash-match).  No false negatives by construction: every true match
+# survives pruning (asserted by n_rows_match == the unpruned join
+# count in the oracle's algebra).  Revenue is per-row fixed-pointed
+# before summation.
+_BJ_BITS = 1 << 16
+_BJ_K = 3
+
+
+def _q_bloom_join(spark, sf_dir):
+    orders = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_fp"),
+    ).localCheckpoint(eager=False)
+    build = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    ).localCheckpoint(eager=False)
+
+    def pos(r, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bj{r}:"), col.cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % F.lit(_BJ_BITS)
+        )
+
+    def posarr(col):
+        return F.array(*[pos(r, col) for r in range(_BJ_K)])
+
+    bits = (
+        build.select(F.explode(posarr(F.col("k"))).alias("bit"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe_keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    key_verdict = (
+        probe_keys.select("k", F.explode(posarr(F.col("k"))).alias("bit"))
+        .join(F.broadcast(bits), "bit", "left")
+        .groupBy("k")
+        .agg(
+            F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("pass")
+        )
+        .localCheckpoint(eager=False)
+    )
+    passing = key_verdict.filter(F.col("pass") == 1).select("k")
+    pruned = li.join(
+        F.broadcast(passing), li.l_orderkey == passing.k
+    ).select("l_orderkey", "price_fp")
+    matched = pruned.join(
+        F.broadcast(build), pruned.l_orderkey == build.k
+    )
+    fp_keys = passing.join(F.broadcast(build), "k", "left_anti")
+    return (
+        li.agg(F.count(F.lit(1)).cast("long").alias("n_fact_rows"))
+        .crossJoin(
+            probe_keys.agg(F.count(F.lit(1)).cast("long").alias("n_fact_keys"))
+        )
+        .crossJoin(build.agg(F.count(F.lit(1)).cast("long").alias("n_build_keys")))
+        .crossJoin(
+            passing.agg(F.count(F.lit(1)).cast("long").alias("n_keys_pass"))
+        )
+        .crossJoin(
+            fp_keys.agg(F.count(F.lit(1)).cast("long").alias("n_fp_keys"))
+        )
+        .crossJoin(
+            pruned.agg(F.count(F.lit(1)).cast("long").alias("n_rows_pass"))
+        )
+        .crossJoin(
+            matched.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows_match"),
+                F.sum("price_fp").cast("long").alias("revenue_fp"),
+            )
         )
     )
 
@@ -5198,6 +5289,52 @@ def oracle_sql() -> dict[str, str]:
                               // (n_weeks * sxx - sx * sx))::BIGINT
                         ELSE NULL END AS slope_ppm
             FROM a
+        """,
+        "q_bloom_join": f"""
+            WITH build AS (
+              SELECT o_orderkey AS k FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+            ),
+            li AS (
+              SELECT l_orderkey,
+                     floor(l_extendedprice * 100)::BIGINT AS price_fp
+              FROM lineitem
+            ),
+            bits AS (
+              SELECT DISTINCT ('0x' || substr(
+                md5('bj' || r.r::VARCHAR || ':' || build.k::VARCHAR), 1, 15))
+                ::BIGINT % {_BJ_BITS} AS bit
+              FROM build, range(0, {_BJ_K}) r(r)
+            ),
+            probe_keys AS (SELECT DISTINCT l_orderkey AS k FROM li),
+            pbits AS (
+              SELECT pk.k, ('0x' || substr(
+                md5('bj' || r.r::VARCHAR || ':' || pk.k::VARCHAR), 1, 15))
+                ::BIGINT % {_BJ_BITS} AS bit
+              FROM probe_keys pk, range(0, {_BJ_K}) r(r)
+            ),
+            kv AS (
+              SELECT pbits.k,
+                     min(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)
+                       AS pass
+              FROM pbits LEFT JOIN bits ON bits.bit = pbits.bit
+              GROUP BY pbits.k
+            ),
+            passing AS (SELECT k FROM kv WHERE pass = 1),
+            pruned AS (SELECT li.l_orderkey, li.price_fp
+                       FROM li JOIN passing ON li.l_orderkey = passing.k),
+            matched AS (SELECT p.l_orderkey, p.price_fp
+                        FROM pruned p JOIN build ON p.l_orderkey = build.k)
+            SELECT
+              (SELECT count(*) FROM li)::BIGINT AS n_fact_rows,
+              (SELECT count(*) FROM probe_keys)::BIGINT AS n_fact_keys,
+              (SELECT count(*) FROM build)::BIGINT AS n_build_keys,
+              (SELECT count(*) FROM passing)::BIGINT AS n_keys_pass,
+              (SELECT count(*) FROM passing
+                 WHERE k NOT IN (SELECT k FROM build))::BIGINT AS n_fp_keys,
+              (SELECT count(*) FROM pruned)::BIGINT AS n_rows_pass,
+              (SELECT count(*) FROM matched)::BIGINT AS n_rows_match,
+              (SELECT sum(price_fp) FROM matched)::BIGINT AS revenue_fp
         """,
         "q_priority_sample": f"""
             WITH scored AS (

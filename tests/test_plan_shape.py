@@ -395,3 +395,13 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert "PartitionFilters" in plan, plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" in pf, plan
+
+
+def test_bloom_join_broadcasts_filter_structures(spark):
+    """P69: the bit table, passing-key set, and build side must all hit
+    the fact scan as BROADCAST joins — the semi-join reduction is
+    worthless if any of them shuffles the fact table."""
+    plan = _plan(entry._q_bloom_join(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ExistingRDD" in plan, plan
