@@ -405,3 +405,22 @@ def test_bloom_join_broadcasts_filter_structures(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """SURVEY §4.2's other free scan-reducer: joining a partitioned fact
+    to a FILTERED dim must inject a dynamicpruning subquery into the
+    fact scan's PartitionFilters (the dim's surviving keys prune fact
+    partitions at runtime — at 100 TB this skips whole directories, not
+    rows)."""
+    p = str(tmp_path / "events_parted")
+    spark.read.parquet(SF + "/events.parquet").write.partitionBy(
+        "event_type"
+    ).parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("view", 2)], "event_type string, grp int"
+    ).filter("grp = 1")
+    j = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan
