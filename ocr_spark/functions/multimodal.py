@@ -448,6 +448,10 @@ def decode_media_real(payload: bytes, media_type: str) -> np.ndarray:
             from ocr_spark.functions.gif import decode_gif
 
             return decode_gif(payload)
+        if payload[:4] == b"II*\x00":
+            from ocr_spark.functions.tiff import decode_tiff
+
+            return decode_tiff(payload)
         if payload[:3] == b"\xff\xd8\xff":
             from ocr_spark.functions.jpeg import decode_baseline
 
@@ -659,6 +663,65 @@ def decode_gifs_real(df: DataFrame) -> DataFrame:
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             withp = synthesize_gif_payloads(pdf)
+            rows = {k: [] for k in
+                    ("doc_id", "width", "height", "n_px", "px_sum",
+                     "pos_sum")}
+            for doc_id, payload in zip(withp["doc_id"], withp["payload"]):
+                arr = decode_media_real(payload, "image")
+                h, w, _ = arr.shape
+                weights = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                px = arr.astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(w * h)
+                rows["px_sum"].append(int(px.sum()))
+                rows["pos_sum"].append(int((px.sum(axis=2) * weights).sum()))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return pruned.mapInPandas(gen, schema=GIF_DECODE_SCHEMA_DDL)
+
+
+def synthesize_tiff_payloads(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic TIFF fixture per doc_id: w = 8 + doc_id % 16,
+    h = 4 + doc_id % 8, channel value (base + x + 7*y + 50*c) % 256 —
+    row- AND channel-varying so the position-weighted oracle catches
+    strip-assembly and predictor bugs.  Compression cycles by doc_id:
+    %3==0 uncompressed, %3==1 PackBits, %3==2 LZW; LZW rows with
+    doc_id %6==5 additionally use the horizontal-differencing
+    predictor.  Strip height 4 forces multi-strip assembly."""
+    from ocr_spark.functions.tiff import encode_tiff
+
+    payloads = []
+    for doc_id in pdf["doc_id"]:
+        d = int(doc_id)
+        w = 8 + d % 16
+        h = 4 + d % 8
+        base = d % 200
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        arr = ((base + x + 7 * y + 50 * c) % 256).astype(np.uint8)
+        comp = {0: 1, 1: 32773, 2: 5}[d % 3]
+        pred = 2 if (comp == 5 and d % 6 == 5) else 1
+        payloads.append(
+            encode_tiff(arr, compression=comp, predictor=pred,
+                        rows_per_strip=4)
+        )
+    return pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                         "payload": payloads})
+
+
+def decode_tiffs_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL TIFF decode: synthesize the per-doc TIFF inside
+    mapInPandas (uncompressed / PackBits / TIFF-LZW with early change /
+    LZW+predictor-2), decode via the pure-NumPy codec, emit measured
+    geometry plus plain and position-weighted pixel sums.  Narrow op."""
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            withp = synthesize_tiff_payloads(pdf)
             rows = {k: [] for k in
                     ("doc_id", "width", "height", "n_px", "px_sum",
                      "pos_sum")}
