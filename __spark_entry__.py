@@ -680,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_sketch": _q_kmv_sketch,
         "q_priority_sample": _q_priority_sample,
         "q_bloom_join": _q_bloom_join,
+        "q_incremental_agg": _q_incremental_agg,
         "q_gap_fill": _q_gap_fill,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
@@ -1687,6 +1688,64 @@ def _q_kmv_sketch(spark, sf_dir):
             F.col("exact_b").cast("long").alias("exact_b"),
             "exact_intersect",
         )
+    )
+
+
+# Incremental aggregate maintenance (P70): the materialized-view
+# pattern — a standing per-type aggregate (n, sum, min, max, sum of
+# squares) is maintained by MERGING the base period's partial state
+# with the delta period's partial state, never by recomputing over the
+# full history.  Here the events log splits at day 15: both partials
+# aggregate independently (at 100 TB the base partial is a stored
+# table, only the delta scans), merge algebraically (sums add, min/max
+# fold), and the output carries the merged state BESIDE a full
+# recompute with a `consistent` flag proving merge == recompute —
+# the algebraic property that makes every sketch in this suite
+# (P21/P28/P29/P67) and map-side combine itself work.  All values
+# fixed-pointed per row; ss_fp headroom to ~4e11 rows (P55 note).
+def _q_incremental_agg(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofmonth(F.col("ts").cast("timestamp")) <= 15).alias("is_base"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_fp"),
+    ).localCheckpoint(eager=False)
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_fp").cast("long").alias("s"),
+            F.min("v_fp").cast("long").alias("mn"),
+            F.max("v_fp").cast("long").alias("mx"),
+            F.sum(F.col("v_fp") * F.col("v_fp")).cast("long").alias("ss"),
+        )
+
+    parts = ev.groupBy("event_type", "is_base").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_fp").cast("long").alias("s"),
+        F.min("v_fp").cast("long").alias("mn"),
+        F.max("v_fp").cast("long").alias("mx"),
+        F.sum(F.col("v_fp") * F.col("v_fp")).cast("long").alias("ss"),
+    )
+    merged = parts.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.min("mn").cast("long").alias("mn"),
+        F.max("mx").cast("long").alias("mx"),
+        F.sum("ss").cast("long").alias("ss"),
+    )
+    full = partial(ev).select(
+        "event_type",
+        F.col("n").alias("fn"), F.col("s").alias("fs"),
+        F.col("mn").alias("fmn"), F.col("mx").alias("fmx"),
+        F.col("ss").alias("fss"),
+    )
+    return merged.join(full, "event_type").select(
+        "event_type", "n", "s", "mn", "mx", "ss",
+        (
+            (F.col("n") == F.col("fn")) & (F.col("s") == F.col("fs"))
+            & (F.col("mn") == F.col("fmn")) & (F.col("mx") == F.col("fmx"))
+            & (F.col("ss") == F.col("fss"))
+        ).alias("consistent"),
     )
 
 
@@ -5305,6 +5364,39 @@ def oracle_sql() -> dict[str, str]:
                               // (n_weeks * sxx - sx * sx))::BIGINT
                         ELSE NULL END AS slope_ppm
             FROM a
+        """,
+        "q_incremental_agg": """
+            WITH ev AS (
+              SELECT event_type,
+                     date_part('day', ts) <= 15 AS is_base,
+                     floor(value * 100)::BIGINT AS v_fp
+              FROM events
+            ),
+            parts AS (
+              SELECT event_type, is_base,
+                     count(*)::BIGINT AS n, sum(v_fp)::BIGINT AS s,
+                     min(v_fp)::BIGINT AS mn, max(v_fp)::BIGINT AS mx,
+                     sum(v_fp * v_fp)::BIGINT AS ss
+              FROM ev GROUP BY 1, 2
+            ),
+            merged AS (
+              SELECT event_type,
+                     sum(n)::BIGINT AS n, sum(s)::BIGINT AS s,
+                     min(mn)::BIGINT AS mn, max(mx)::BIGINT AS mx,
+                     sum(ss)::BIGINT AS ss
+              FROM parts GROUP BY 1
+            ),
+            fullagg AS (
+              SELECT event_type,
+                     count(*)::BIGINT AS fn, sum(v_fp)::BIGINT AS fs,
+                     min(v_fp)::BIGINT AS fmn, max(v_fp)::BIGINT AS fmx,
+                     sum(v_fp * v_fp)::BIGINT AS fss
+              FROM ev GROUP BY 1
+            )
+            SELECT m.event_type, m.n, m.s, m.mn, m.mx, m.ss,
+                   (m.n = f.fn AND m.s = f.fs AND m.mn = f.fmn
+                    AND m.mx = f.fmx AND m.ss = f.fss) AS consistent
+            FROM merged m JOIN fullagg f USING (event_type)
         """,
         "q_bloom_join": f"""
             WITH build AS (
