@@ -681,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_priority_sample": _q_priority_sample,
         "q_bloom_join": _q_bloom_join,
         "q_incremental_agg": _q_incremental_agg,
+        "q_decile_assign": _q_decile_assign,
         "q_gap_fill": _q_gap_fill,
         # --- dedup ---------------------------------------------------------
         "q_dedup_exact": _q_dedup_exact,
@@ -1688,6 +1689,57 @@ def _q_kmv_sketch(spark, sf_dir):
             F.col("exact_b").cast("long").alias("exact_b"),
             "exact_intersect",
         )
+    )
+
+
+# Sketch-driven decile assignment (P71): the downstream half of the
+# quantile story — the mergeable fixed-point histogram (P-quantile
+# class, q_quantile_sketch) yields the 9 global decile EDGES, which
+# broadcast as ONE array row back onto a linear scan; each event's
+# decile is size(filter(edges, e -> v > e)) + 1, a pure array
+# expression with no row blowup and no second shuffle.  The per-decile
+# output (counts, sums, min/max) exhibits the assignment.  The
+# histogram's cumulative window is single-partition but HISTOGRAM-
+# sized (≤ 49k distinct fixed-point buckets — bounded by value range,
+# not corpus size), which is exactly why the histogram form is the
+# quantile path at 100 TB.  Rank thresholds in ceil-integer form.
+def _q_decile_assign(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100).cast("long").alias("v_fp")
+    ).localCheckpoint(eager=False)
+    hist = ev.groupBy(F.col("v_fp").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy()
+    cum = hist.select(
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({k} * n + 9) div 10"),
+                F.col("bucket"),
+            )
+        ).alias(f"e{k}")
+        for k in range(1, 10)
+    ]
+    edges = cum.agg(*picks).select(
+        F.array(*[F.col(f"e{k}") for k in range(1, 10)]).alias("edges")
+    )
+    assigned = ev.crossJoin(F.broadcast(edges)).select(
+        "v_fp",
+        (F.expr("size(filter(edges, e -> v_fp > e))") + 1)
+        .cast("long")
+        .alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v_fp").cast("long").alias("sum_fp"),
+        F.min("v_fp").cast("long").alias("min_fp"),
+        F.max("v_fp").cast("long").alias("max_fp"),
     )
 
 
@@ -5364,6 +5416,35 @@ def oracle_sql() -> dict[str, str]:
                               // (n_weeks * sxx - sx * sx))::BIGINT
                         ELSE NULL END AS slope_ppm
             FROM a
+        """,
+        "q_decile_assign": """
+            WITH v AS (SELECT floor(value * 100)::BIGINT AS v_fp FROM events),
+            hist AS (SELECT v_fp AS bucket, count(*) AS cnt FROM v GROUP BY 1),
+            cum AS (
+              SELECT bucket,
+                     sum(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum,
+                     sum(cnt) OVER () AS n
+              FROM hist
+            ),
+            e AS (
+              SELECT t.k,
+                     min(CASE WHEN cum.cum >= (t.k * cum.n + 9) // 10
+                              THEN cum.bucket END) AS edge
+              FROM cum, range(1, 10) t(k) GROUP BY t.k
+            ),
+            el AS (SELECT list(edge ORDER BY k) AS edges FROM e)
+            SELECT decile, count(*)::BIGINT AS n_events,
+                   sum(v_fp)::BIGINT AS sum_fp,
+                   min(v_fp)::BIGINT AS min_fp,
+                   max(v_fp)::BIGINT AS max_fp
+            FROM (
+              SELECT v.v_fp,
+                     (len(list_filter(el.edges, x -> v.v_fp > x)) + 1)::BIGINT
+                       AS decile
+              FROM v, el
+            )
+            GROUP BY 1
         """,
         "q_incremental_agg": """
             WITH ev AS (
