@@ -398,13 +398,64 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
 
 
 def test_bloom_join_broadcasts_filter_structures(spark):
-    """P69: the bit table, passing-key set, and build side must all hit
-    the fact scan as BROADCAST joins — the semi-join reduction is
-    worthless if any of them shuffles the fact table."""
+    """P69: the constant-size bit table (2^16 bits) is the ONLY forced
+    broadcast — the bloom probe per distinct key must be a broadcast
+    hash join, and nothing on the probe path may degenerate to a cross
+    product.  The passing-key/build sets are fact-key-sized and carry
+    no broadcast hint (ADVICE r4): at this sf Catalyst still broadcasts
+    them from size stats, which is fine — the pin is that WE never force
+    it, so at 100 TB stats drive the same joins to shuffle."""
     plan = _plan(entry._q_bloom_join(spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 3, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "CartesianProduct" not in plan, plan
     assert "ExistingRDD" in plan, plan
+    # the source carries exactly one broadcast() hint (the bit table)
+    import inspect
+
+    src = inspect.getsource(entry._q_bloom_join)
+    assert src.count("F.broadcast(") == 1, src
+
+
+def test_no_count_job_for_size_derivation(spark, monkeypatch):
+    """VERDICT r4 ask #4: parameter/size derivations (ANN bit widths from
+    _emb_count, PageRank/k-core N, IVF centroid training) must come from
+    parquet footer stats / pyarrow sampling — NEVER a Spark count()/
+    collect()/toPandas() job fired while the plan is being CONSTRUCTED.
+    (At production these are Iceberg snapshot statistics; a count() job
+    here would be a full-table scan before the real query even starts.)
+    Jobs that legitimately run at construction — schema inference and
+    eager localCheckpoint materialization in the iterative queries — are
+    unaffected: only driver-collecting actions are banned."""
+    from pyspark.sql import DataFrame
+
+    def banned(name):
+        def _f(self, *a, **k):
+            raise AssertionError(
+                f"DataFrame.{name}() fired during plan construction"
+            )
+        return _f
+
+    for action in ("count", "collect", "toPandas", "take", "first", "head"):
+        monkeypatch.setattr(DataFrame, action, banned(action))
+    qs = entry.queries()
+    for name in (
+        "q_embedding_ann_lsh",
+        "q_embedding_ann_lsh_mt",
+        "q_embedding_ann_lsh_mp",
+        "q_embedding_ann_ivf",
+        "q_embedding_ann_ivf_mp",
+        "q_embedding_topk",
+        "q_semdedup",
+        "q_cluster_profile",
+        "q_pagerank",
+        "q_kcore",
+        "q_minhash_lsh",
+        "q_bloom_join",
+        "q_hll_distinct",
+        "q_bm25_topk",
+        "q_inverted_index",
+    ):
+        qs[name](spark, SF)
 
 
 def test_dynamic_partition_pruning_fires(spark, tmp_path):
