@@ -1124,6 +1124,52 @@ def decode_adpcm_wavs_real(df: DataFrame) -> DataFrame:
     return pruned.mapInPandas(gen, schema=G711_DECODE_SCHEMA_DDL)
 
 
+MP3_DECODE_SCHEMA_DDL = (
+    "doc_id bigint, n_frames bigint, sample_rate bigint, "
+    "bitrate_kbps_sum bigint, n_samples bigint, crc_frames bigint, "
+    "resv_sum bigint, scf_sum bigint, pcm_abs_q bigint"
+)
+
+
+def decode_mp3s_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL MPEG-1 Layer III bitstream decode (round 5,
+    narrowing the perceptual-audio seam): synthesize the framed mp3 per
+    doc_id inside mapInPandas (ocr_spark/functions/mp3.py — silent
+    long-block granules, VBR frame sizes, CRC-protected side info on
+    even docs, a REAL bit-reservoir layout), then walk/validate/decode
+    it: sync + header fields, CRC-16 check, side info, reservoir
+    reconstruction, fixed-width scalefactor fields, part2_3_length
+    bit-exact accounting, requantize -> alias-reduce -> IMDCT ->
+    overlap-add -> matrixing on the (exactly-zero) spectrum.  Emits
+    measured geometry + scalefactor/reservoir sums + quantized PCM
+    energy (exactly 0 for the silent fixtures — computed, not assumed).
+    Spectral Huffman tables and the synthesis D-window remain the
+    documented seams (mp3.py module docstring)."""
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.functions.mp3 import decode_mp3, encode_mp3_silence
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "n_frames", "sample_rate", "bitrate_kbps_sum",
+                "n_samples", "crc_frames", "resv_sum", "scf_sum",
+                "pcm_abs_q",
+            )}
+            for doc_id in pdf["doc_id"]:
+                r = decode_mp3(encode_mp3_silence(int(doc_id)))
+                rows["doc_id"].append(int(doc_id))
+                for k in ("n_frames", "sample_rate", "bitrate_kbps_sum",
+                          "n_samples", "crc_frames", "resv_sum", "scf_sum"):
+                    rows[k].append(int(r[k]))
+                rows["pcm_abs_q"].append(
+                    int(round(float(np.abs(r["pcm"]).sum()) * 1e6))
+                )
+            yield pd.DataFrame(rows).astype("int64")
+
+    return pruned.mapInPandas(gen, schema=MP3_DECODE_SCHEMA_DDL)
+
+
 VIDEO_DECODE_SCHEMA_DDL = (
     "doc_id bigint, n_frames bigint, width bigint, height bigint, "
     "px_sum_all bigint"
