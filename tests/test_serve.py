@@ -59,3 +59,41 @@ def test_serve_cli():
     assert res.returncode == 0, res.stderr
     out = json.loads(res.stdout)
     assert out["success"] is True and out["status"] == "ok"
+
+
+def test_serve_http_endpoint():
+    """HTTP harness parity (reference api.py route shape): POST a raw
+    payload -> the serve_one envelope; junk/unknown routes -> a JSON
+    failure envelope with HTTP 200, never an HTTP error (api.py
+    returns jsonify'd errors)."""
+    import threading
+    import urllib.request
+
+    from ocr_spark.serve import make_http_server
+
+    srv = make_http_server(0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                assert resp.status == 200
+                return json.loads(resp.read())
+
+        payload = "Intro sentence with enough words to keep. " * 4
+        got = post("/api/extract", payload.encode())
+        assert got["success"] is True
+        assert got["extracted_text"] == serve_one(payload)["extracted_text"]
+
+        bad = post("/api/extract", b"\x00\x01\x02")
+        assert bad["success"] in (True, False)  # envelope, not a crash
+
+        unk = post("/api/nope", b"x")
+        assert unk == {"success": False, "error": "unknown route"}
+    finally:
+        srv.shutdown()
+        srv.server_close()
