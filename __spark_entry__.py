@@ -667,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ----------------------------------------------
         "q_stream_dedup_drain": _q_stream_dedup_drain,
         "q_mp3_decode": _q_mp3_decode,
+        "q_ogg_decode": _q_ogg_decode,
         # --- extraction-pipeline scalar stages (G1/G7/G10 analogues) ----
         "q_canonicalize": _q_canonicalize,
         "q_min_len_filter": _q_min_len_filter,
@@ -4826,6 +4827,29 @@ def _q_mp3_decode(spark, sf_dir):
     return decode_mp3s_real(d)
 
 
+# REAL Ogg container decode (round 5 — the perceptual-audio seam is now
+# Vorbis/mp3 SPECTRAL TABLES only): per doc a Vorbis-framed ogg stream
+# with closed-form headers, opaque seam packets, and a small lacing cap
+# that forces genuine cross-page packet continuation is built by
+# ocr_spark/functions/ogg.py, then fully walked inside mapInPandas:
+# per-page RFC 3533 CRC-32 (direct 0x04c11db7 — not zlib's reflected
+# variant), page-sequence and continuation-flag handshakes, lacing
+# reassembly (255 runs + 0-lacing terminators), Vorbis ident + comment
+# header parse, byte-exact accounting of the reassembled seam packets.
+# The oracle recomputes page counts, spanning-packet counts, and the
+# audio byte sum from the fixture's integer closed forms — any CRC,
+# lacing, or continuation bug breaks the hash.  Scale note: ogg pages
+# are self-delimiting (capture + own CRC + own lacing table), so a
+# 100-TB ingest CAN split ogg payloads at page boundaries — the exact
+# mirror of mp3's bit-reservoir non-splittability documented in
+# q_mp3_decode; the pair pins both answers an ingest planner needs.
+def _q_ogg_decode(spark, sf_dir):
+    from ocr_spark.functions.multimodal import decode_oggs_real
+
+    d = _docs_wide(spark, sf_dir).select("doc_id")
+    return decode_oggs_real(d)
+
+
 # REAL video decode (MJPEG AVI — frames are baseline JPEGs inside a
 # RIFF container, so the pure-NumPy JPEG codec makes the video tier a
 # working decoder too): per doc, an F-frame flat-tile MJPEG AVI is
@@ -5102,6 +5126,64 @@ def oracle_sql() -> dict[str, str]:
                    s.scf_sum::BIGINT AS scf_sum,
                    0::BIGINT AS pcm_abs_q
             FROM fr JOIN scf_sum_t s ON fr.d = s.d
+        """,
+        "q_ogg_decode": """
+            WITH d0 AS (
+              SELECT doc_id AS d,
+                     3 + doc_id % 3 AS m,
+                     doc_id % 4 AS c,
+                     600 + 100*(doc_id % 5) AS ls,
+                     2 + doc_id % 3 AS p
+              FROM documents
+            ),
+            hdr AS (
+              SELECT d, m, c, ls, p,
+                ((30 // 255 + 1) + m - 1) // m AS pg_ident,
+                (((37 + 12*c) // 255 + 1) + m - 1) // m AS pg_comment,
+                ((ls // 255 + 1) + m - 1) // m AS pg_setup
+              FROM d0
+            ),
+            aud AS (
+              SELECT d, m, j, 300 + (13*d + 17*j) % 600 AS lj
+              FROM d0, range(0, 4) t(j)
+              WHERE j < p
+            ),
+            aud_pg AS (
+              SELECT d,
+                     sum(((lj // 255 + 1) + m - 1) // m) AS pgs,
+                     sum(CASE WHEN ((lj // 255 + 1) + m - 1) // m > 1
+                         THEN 1 ELSE 0 END) AS spans
+              FROM aud GROUP BY d
+            ),
+            aud_bytes AS (
+              SELECT a.d, sum((a.d + 31*a.j + i) % 251) AS bsum
+              FROM aud a, range(0, 900) r(i)
+              WHERE i < a.lj
+              GROUP BY a.d
+            )
+            SELECT h.d AS doc_id,
+                   (h.pg_ident + h.pg_comment + h.pg_setup + ap.pgs)::BIGINT
+                     AS n_pages,
+                   (3 + h.p)::BIGINT AS n_packets,
+                   (CASE WHEN h.pg_ident > 1 THEN 1 ELSE 0 END
+                    + CASE WHEN h.pg_comment > 1 THEN 1 ELSE 0 END
+                    + CASE WHEN h.pg_setup > 1 THEN 1 ELSE 0 END
+                    + ap.spans)::BIGINT AS spanning_packets,
+                   (21360 + h.d)::BIGINT AS serial,
+                   (1 + h.d % 2)::BIGINT AS channels,
+                   ([8000,11025,16000,22050,44100,48000])[(h.d % 6)+1]::BIGINT
+                     AS sample_rate,
+                   (64000 + 1000*(h.d % 32))::BIGINT AS bitrate_nominal,
+                   21::BIGINT AS vendor_len,
+                   h.c::BIGINT AS n_comments,
+                   (8*h.c)::BIGINT AS comment_bytes,
+                   h.ls::BIGINT AS setup_bytes,
+                   h.p::BIGINT AS n_audio_packets,
+                   ab.bsum::BIGINT AS audio_bytes_sum,
+                   (1024*h.p)::BIGINT AS granule_last
+            FROM hdr h
+            JOIN aud_pg ap ON h.d = ap.d
+            JOIN aud_bytes ab ON h.d = ab.d
         """,
         "q_min_len_filter": """
             SELECT doc_id, n_chars, lang FROM documents WHERE n_chars >= 200

@@ -14,9 +14,12 @@ libraries:
   INDEPENDENTLY decodable — the intra-payload parallel-decode unit at
   100 TB, exactly like JPEG restart segments.
 
-mp3/ogg/flac remain the honest NotImplementedError seam in
-multimodal._decode_wav — perceptual codecs genuinely need a codec
-library.  Reference parity note: the reference app (kingsleyesisi/OCR)
+Perceptual codecs inside a WAV container remain the honest
+NotImplementedError seam in multimodal._decode_wav.  As standalone
+payloads, round 5 narrowed both majors to their spectral tables only:
+mp3's bitstream/side-info/reservoir layer is real (functions/mp3.py)
+and ogg's container/CRC/lacing/Vorbis-header layer is real
+(functions/ogg.py); flac stays a full seam.  Reference parity note: the reference app (kingsleyesisi/OCR)
 has no audio path at all; this tier exists for the training-data
 pipeline mandate, same as the image codecs.
 """

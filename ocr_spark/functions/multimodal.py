@@ -1170,6 +1170,50 @@ def decode_mp3s_real(df: DataFrame) -> DataFrame:
     return pruned.mapInPandas(gen, schema=MP3_DECODE_SCHEMA_DDL)
 
 
+OGG_DECODE_SCHEMA_DDL = (
+    "doc_id bigint, n_pages bigint, n_packets bigint, "
+    "spanning_packets bigint, serial bigint, channels bigint, "
+    "sample_rate bigint, bitrate_nominal bigint, vendor_len bigint, "
+    "n_comments bigint, comment_bytes bigint, setup_bytes bigint, "
+    "n_audio_packets bigint, audio_bytes_sum bigint, granule_last bigint"
+)
+
+
+def decode_oggs_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL Ogg container decode (round 5, narrowing the
+    remaining perceptual-audio seam to Vorbis spectral tables):
+    synthesize the Vorbis-framed ogg stream per doc_id inside
+    mapInPandas (ocr_spark/functions/ogg.py — cross-page packets forced
+    by a small lacing cap), then walk it for real: per-page RFC 3533
+    CRC-32 validation, sequence-continuity and continuation-flag
+    handshakes, lacing-value packet reassembly (255 runs, 0-lacing
+    terminators, page-spanning packets), Vorbis ident + comment header
+    parse, and byte-exact opaque accounting of the seam packets.  The
+    Vorbis codebook/floor/residue path is the documented seam
+    (ogg.py:decode_vorbis_audio)."""
+    pruned = df.select("doc_id")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.functions.ogg import (
+            decode_ogg_stream, encode_ogg_vorbis_fixture)
+
+        cols = ("n_pages", "n_packets", "spanning_packets", "serial",
+                "channels", "sample_rate", "bitrate_nominal",
+                "vendor_len", "n_comments", "comment_bytes",
+                "setup_bytes", "n_audio_packets", "audio_bytes_sum",
+                "granule_last")
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id",) + cols}
+            for doc_id in pdf["doc_id"]:
+                r = decode_ogg_stream(encode_ogg_vorbis_fixture(int(doc_id)))
+                rows["doc_id"].append(int(doc_id))
+                for k in cols:
+                    rows[k].append(int(r[k]))
+            yield pd.DataFrame(rows).astype("int64")
+
+    return pruned.mapInPandas(gen, schema=OGG_DECODE_SCHEMA_DDL)
+
+
 VIDEO_DECODE_SCHEMA_DDL = (
     "doc_id bigint, n_frames bigint, width bigint, height bigint, "
     "px_sum_all bigint"
